@@ -1,0 +1,98 @@
+"""Tokenization: content -> (doc_id, term, tf) triples + per-doc stats.
+
+Two implementations with identical output (tests assert agreement):
+
+1. ``tokenize_terms`` — pure JVM expressions (``split``/``regexp_extract_all``
+   -> ``explode`` -> hash aggregate). Whole-stage-codegen'd end to end; this
+   is the default and the 100 TB path: no Python in the loop at all, and the
+   map-side partial aggregation of (doc_id, term) counts happens before the
+   shuffle.
+2. ``tokenize_terms_arrow`` — ``mapInPandas`` emitting the triples directly
+   from Arrow batches (the BASELINE.json "vectorized pandas/Arrow UDF
+   tokenization" formulation; also where code-aware extras like camelCase
+   splitting would live). Avoids exploding giant arrays through the row
+   format by counting within the batch.
+
+Tokenizer modes:
+  * ``ws``   — whitespace terms (matches the oracle SQL ``string_split``).
+  * ``code`` — identifier/number tokens ``[A-Za-z_][A-Za-z0-9_]*|[0-9]+``,
+    lowercased, for the source-code corpus.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+CODE_TOKEN_RE = r"[A-Za-z_][A-Za-z0-9_]*|[0-9]+"
+
+
+def _terms_col(content_col: str, mode: str):
+    if mode == "ws":
+        return F.filter(F.split(F.col(content_col), r"\s+"), lambda x: x != "")
+    if mode == "code":
+        return F.transform(
+            F.regexp_extract_all(F.col(content_col), F.lit(CODE_TOKEN_RE), 0),
+            lambda x: F.lower(x),
+        )
+    raise ValueError(f"unknown tokenizer mode: {mode}")
+
+
+def tokenize_terms(docs: DataFrame, content_col: str = "content", mode: str = "ws") -> DataFrame:
+    """docs -> (doc_id, term, tf). JVM-only: codegen'd split/explode, then a
+    hash aggregate whose partial (map-side) phase combines before the shuffle
+    on doc_id+term."""
+    return (
+        docs.select("doc_id", F.explode(_terms_col(content_col, mode)).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def tokenize_terms_arrow(
+    docs: DataFrame, content_col: str = "content", mode: str = "ws"
+) -> DataFrame:
+    """Arrow-batched tokenizer: same (doc_id, term, tf) contract, produced by
+    vectorized pandas string ops inside ``mapInPandas`` (no per-row Python UDF
+    calls; one Python invocation per Arrow batch)."""
+    import re
+
+    pat = re.compile(CODE_TOKEN_RE) if mode == "code" else None
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pat is None:
+                toks = pdf[content_col].str.split()
+            else:
+                toks = pdf[content_col].str.lower().str.findall(pat)
+            flat = pd.DataFrame(
+                {"doc_id": pdf["doc_id"].repeat(toks.str.len()).to_numpy(),
+                 "term": [t for lst in toks for t in lst]}
+            )
+            if flat.empty:
+                yield pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                    "term": pd.Series(dtype="object"),
+                                    "tf": pd.Series(dtype="int64")})
+                continue
+            out = flat.groupby(["doc_id", "term"], sort=False).size().reset_index(name="tf")
+            yield out
+
+    local = docs.select("doc_id", content_col).mapInPandas(
+        run, schema="doc_id long, term string, tf long"
+    )
+    # batch-local counts are already combined; a final aggregate merges across
+    # batches/partitions (cheap: cardinality is already per-doc-distinct-term)
+    return local.groupBy("doc_id", "term").agg(F.sum("tf").alias("tf"))
+
+
+def doc_stats(docs: DataFrame, content_col: str = "content", mode: str = "ws") -> DataFrame:
+    """Per-doc projection: doc_len (token count) + content_sha256 (the per-row
+    pipeline invariant, BASELINE.json). Pure JVM expressions."""
+    return docs.select(
+        "doc_id",
+        F.size(_terms_col(content_col, mode)).cast("long").alias("doc_len"),
+        F.sha2(F.col(content_col), 256).alias("content_sha256"),
+    )
