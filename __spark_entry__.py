@@ -59,6 +59,30 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _index_dir_for(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once, resumable) the compressed inverted index for a testdata
+    scale under /tmp; reused across driver invocations in the same sandbox."""
+    import hashlib
+
+    from geometric_aware_retrieval_v2_spark.operators.index import build_index
+
+    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+    idx = f"/tmp/gar2_index_{tag}"
+    build_index(
+        spark, _docs(spark, sf_dir), idx, n_partitions=4, n_shards=8, block_size=128
+    )
+    return idx
+
+
+def q_bm25_topk_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-index block-max WAND path; must be rank-identical (and
+    score-identical) to the exhaustive oracle SQL."""
+    from geometric_aware_retrieval_v2_spark.operators.index import bm25_topk_indexed
+
+    idx = _index_dir_for(spark, sf_dir)
+    return bm25_topk_indexed(spark, idx, queries_df(spark), k=10, method="wand")
+
+
 # ------------------------------------------------------- classic SQL coverage
 
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -126,6 +150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_df": q_term_df,
         "corpus_stats": q_corpus_stats,
         "bm25_topk": q_bm25_topk,
+        "bm25_topk_wand": q_bm25_topk_wand,
         "tpch_q1": q_tpch_q1,
         "top_customers": q_top_customers,
         "events_hourly": q_events_hourly,
@@ -139,6 +164,7 @@ def oracle_sql() -> dict[str, str]:
         "term_df": oracles.term_df_sql(),
         "corpus_stats": oracles.corpus_stats_sql(),
         "bm25_topk": oracles.bm25_topk_sql(k=10),
+        "bm25_topk_wand": oracles.bm25_topk_sql(k=10),
         "tpch_q1": oracles.tpch_q1_sql(),
         "top_customers": oracles.top_customers_sql(k=20),
         "events_hourly": oracles.events_hourly_sql(),

@@ -1,0 +1,379 @@
+"""Inverted-index lifecycle: resumable segmented build -> distributed merge ->
+block-max WAND / exhaustive BM25 query over the compressed index.
+
+Layout (parquet-as-Iceberg, see plans/manifest.py):
+    index_dir/
+      meta.json        n_docs, avgdl, n_shards, block_size, tokenizer_mode
+      docstats/part=I/ (doc_id, doc_len, content_sha256) per build partition
+      segments/part=I/ posting block rows per build partition
+      postings/        merged consolidated block rows
+      dictionary/      (term, df) — derived from block metadata only
+      manifest/        per-partition lineage + metrics
+
+Build is checkpoint-resumable: build partitions are ``pmod(xxhash64(doc_id),
+P)`` (content-addressed, so a resume after kill processes exactly the missing
+partitions and produces byte-identical segments — verified by tests). Each
+partition's job is an independent Spark action, which is how a spark-submit
+driver on a 1000-executor cluster would chunk a 10^12-file build; partition
+granularity P scales with input size while each job stays shuffle-light.
+
+Query topology: postings are document-sharded (see operators/postings.py), so
+scoring is per-(qid, shard) partial top-k inside a grouped Arrow UDF (batched
+NumPy; no per-row Python) followed by a final per-qid top-k window — partials
+are exact because a document's every query term lives in its one shard.
+
+Block-max WAND (Ding & Suel, SIGIR 2011), adapted to a vectorized two-pass
+form that is *provably exact* (see _score_group): phase 1 decodes the few
+highest-upper-bound blocks to establish a score floor theta (a lower bound on
+the true k-th best score); phase 2 skips every block whose own upper bound
+plus the overlapping upper bounds of the other query terms cannot reach
+theta. Any document whose true score >= theta has all of its blocks survive,
+hence is scored exactly; all others cannot be in the top-k.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from geometric_aware_retrieval_v2_spark.functions.tokenizer import doc_stats, tokenize_terms
+from geometric_aware_retrieval_v2_spark.operators.bm25 import (
+    B_DEFAULT,
+    K1_DEFAULT,
+    SCORE_DECIMALS,
+    query_terms,
+)
+from geometric_aware_retrieval_v2_spark.operators.ordinals import assign_ordinals
+from geometric_aware_retrieval_v2_spark.operators.postings import (
+    decode_block,
+    merge_segments,
+    pack_postings,
+)
+from geometric_aware_retrieval_v2_spark.operators.topk import grouped_topk
+from geometric_aware_retrieval_v2_spark.plans import manifest as mf
+
+
+@dataclass
+class IndexMeta:
+    n_docs: int
+    avgdl: float
+    n_shards: int
+    block_size: int
+    tokenizer_mode: str
+
+    def save(self, index_dir: str) -> None:
+        with open(os.path.join(index_dir, "meta.json"), "w") as f:
+            json.dump(self.__dict__, f)
+
+    @staticmethod
+    def load(index_dir: str) -> "IndexMeta":
+        with open(os.path.join(index_dir, "meta.json")) as f:
+            return IndexMeta(**json.load(f))
+
+
+def build_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    index_dir: str,
+    n_partitions: int = 8,
+    n_shards: int = 8,
+    block_size: int = 128,
+    tokenizer_mode: str = "ws",
+    run_id: str = "run-0",
+) -> IndexMeta:
+    """Resumable build. ``docs`` must have (doc_id, content).
+
+    Stages (each manifest-committed, resume skips completed ones):
+      docstats[p]  per-partition doc_len + content_sha256
+      docmap       dense ordinal assignment over all docstats (ordinals.py)
+      segments[p]  tokenized triples joined to ordinals, packed into blocks
+      merge        consolidated postings + dictionary + meta
+    """
+    os.makedirs(index_dir, exist_ok=True)
+    docs = docs.select("doc_id", "content").withColumn(
+        "bp", F.pmod(F.xxhash64("doc_id"), F.lit(n_partitions)).cast("int")
+    )
+
+    done = mf.completed_partitions(spark, index_dir, "docstats")
+    for p in range(n_partitions):
+        if p in done:
+            continue
+        t0 = time.monotonic()
+        part = docs.filter(F.col("bp") == p).drop("bp")
+        fp_row = part.agg(
+            # decimal(38,0) accumulation: overflow-free under ANSI mode
+            F.sum(F.xxhash64("doc_id", "content").cast("decimal(38,0)")).alias("fp"),
+            F.count(F.lit(1)).alias("rows"),
+        ).collect()[0]
+        out = f"{index_dir}/docstats/part={p}"
+        doc_stats(part, mode=tokenizer_mode).write.mode("overwrite").parquet(out)
+        mf.append_manifest(
+            spark,
+            index_dir,
+            [
+                mf.manifest_row(
+                    run_id, "docstats", p, str(fp_row.fp), int(fp_row.rows), 0,
+                    int((time.monotonic() - t0) * 1000), out,
+                )
+            ],
+        )
+
+    if -1 not in mf.completed_partitions(spark, index_dir, "docmap"):
+        t0 = time.monotonic()
+        dstats = spark.read.parquet(f"{index_dir}/docstats")
+        docmap = assign_ordinals(dstats, n_ranges=max(n_partitions, 8))
+        docmap.write.mode("overwrite").parquet(f"{index_dir}/docmap")
+        mf.append_manifest(
+            spark,
+            index_dir,
+            [
+                mf.manifest_row(
+                    run_id, "docmap", -1, "all-docstats",
+                    spark.read.parquet(f"{index_dir}/docmap").count(), 0,
+                    int((time.monotonic() - t0) * 1000), f"{index_dir}/docmap",
+                )
+            ],
+        )
+
+    done = mf.completed_partitions(spark, index_dir, "segments")
+    docmap = spark.read.parquet(f"{index_dir}/docmap")
+    dl_by_ord = (
+        spark.read.parquet(f"{index_dir}/docstats")
+        .select("doc_id", F.col("doc_len").alias("dl"))
+        .join(docmap, "doc_id")
+        .select("doc_id", "ord", "dl")
+    )
+    for p in range(n_partitions):
+        if p in done:
+            continue
+        t0 = time.monotonic()
+        part = docs.filter(F.col("bp") == p).drop("bp")
+        tf = tokenize_terms(part, mode=tokenizer_mode)
+        # postings are keyed by dense ordinal from here on; shard is a pure
+        # function of the ordinal so partial top-k per shard stays exact
+        tf_ord = (
+            tf.join(dl_by_ord, "doc_id")
+            .select(
+                F.col("ord").alias("doc_id"),
+                "term",
+                "tf",
+                "dl",
+                F.pmod(F.col("ord"), F.lit(n_shards)).cast("int").alias("shard"),
+            )
+        )
+        seg = pack_postings(tf_ord, n_shards=n_shards, block_size=block_size)
+        seg_path = f"{index_dir}/segments/part={p}"
+        seg.write.mode("overwrite").parquet(seg_path)
+        n_bytes = sum(
+            f.stat().st_size for f in os.scandir(seg_path) if f.name.endswith(".parquet")
+        )
+        mf.append_manifest(
+            spark,
+            index_dir,
+            [
+                mf.manifest_row(
+                    run_id, "segments", p, "tokenize+pack", 0,
+                    int(n_bytes), int((time.monotonic() - t0) * 1000), seg_path,
+                )
+            ],
+        )
+
+    if -1 not in mf.completed_partitions(spark, index_dir, "merge"):
+        t0 = time.monotonic()
+        segments = spark.read.parquet(f"{index_dir}/segments")
+        merged = merge_segments(segments, n_shards=n_shards, block_size=block_size)
+        merged.write.mode("overwrite").parquet(f"{index_dir}/postings")
+        postings = spark.read.parquet(f"{index_dir}/postings")
+        # dictionary + corpus stats from metadata columns only (bytes never read)
+        postings.groupBy("term").agg(F.sum("n").alias("df")).write.mode(
+            "overwrite"
+        ).parquet(f"{index_dir}/dictionary")
+        stats = (
+            spark.read.parquet(f"{index_dir}/docstats")
+            .agg(F.count(F.lit(1)).alias("n"), F.avg(F.col("doc_len").cast("double")).alias("a"))
+            .collect()[0]
+        )
+        IndexMeta(int(stats.n), float(stats.a), n_shards, block_size, tokenizer_mode).save(index_dir)
+        mf.append_manifest(
+            spark,
+            index_dir,
+            [
+                mf.manifest_row(
+                    run_id, "merge", -1, "all-segments", postings.count(), 0,
+                    int((time.monotonic() - t0) * 1000), f"{index_dir}/postings",
+                )
+            ],
+        )
+    return IndexMeta.load(index_dir)
+
+
+# ----------------------------------------------------------------- query path
+
+
+def _score_group_kernel(
+    pdf: pd.DataFrame,
+    k: int,
+    k1: float,
+    b: float,
+    avgdl: float,
+    use_wand: bool,
+) -> tuple[np.ndarray, np.ndarray, int, int]:
+    """Score one (qid, shard) group of block rows. -> (doc_ids, scores,
+    n_blocks, n_decoded). Batched NumPy only."""
+    nb = len(pdf)
+    idf = pdf["idf"].to_numpy(dtype=np.float64)
+    mtf = pdf["max_tf"].to_numpy(dtype=np.float64)
+    mdl = pdf["min_dl"].to_numpy(dtype=np.float64)
+    first = pdf["first_doc"].to_numpy(dtype=np.int64)
+    last = pdf["last_doc"].to_numpy(dtype=np.int64)
+    terms = pdf["term"].to_numpy()
+    ub = idf * (mtf * (k1 + 1.0) / (mtf + k1 * (1.0 - b + b * mdl / avgdl)))
+
+    cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+    def decode(i: int) -> tuple[np.ndarray, np.ndarray]:
+        if i not in cache:
+            d, t, l = decode_block(pdf["bytes"].iat[i], int(pdf["n"].iat[i]))
+            tf = t.astype(np.float64)
+            dl = l.astype(np.float64)
+            s = idf[i] * (tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl)))
+            cache[i] = (d, s)
+        return cache[i]
+
+    keep = np.ones(nb, dtype=bool)
+    if use_wand and nb > 2:
+        # phase 1: decode a few highest-ub blocks -> theta (lower bound on
+        # the true kth-best score: partial sums are <= true scores)
+        order = np.argsort(-ub, kind="mergesort")
+        probe = order[: max(2, min(nb, 2 * max(k // 8, 1) + 2))]
+        pd_docs = np.concatenate([decode(int(i))[0] for i in probe])
+        pd_scores = np.concatenate([decode(int(i))[1] for i in probe])
+        uniq, inv = np.unique(pd_docs, return_inverse=True)
+        acc = np.zeros(len(uniq))
+        np.add.at(acc, inv, pd_scores)
+        theta = np.partition(acc, len(acc) - k)[len(acc) - k] if len(acc) >= k else -np.inf
+        if np.isfinite(theta):
+            # phase 2: survival test per block
+            uterms = pd.unique(pdf["term"])
+            by_term = {t: np.nonzero(terms == t)[0] for t in uterms}
+            for i in range(nb):
+                bound = ub[i]
+                for t in uterms:
+                    if t == terms[i]:
+                        continue
+                    idxs = by_term[t]
+                    ov = (first[idxs] <= last[i]) & (last[idxs] >= first[i])
+                    if ov.any():
+                        bound += ub[idxs][ov].max()
+                keep[i] = bound >= theta
+            keep[probe] = True  # already decoded; keep their contributions
+
+    dec = [decode(int(i)) for i in np.nonzero(keep)[0]]
+    if not dec:
+        return np.empty(0, np.int64), np.empty(0, np.float64), nb, len(cache)
+    docs = np.concatenate([d for d, _ in dec])
+    scores = np.concatenate([s for _, s in dec])
+    uniq, inv = np.unique(docs, return_inverse=True)
+    acc = np.zeros(len(uniq))
+    np.add.at(acc, inv, scores)
+    # partial top-k within the shard on the SAME key as the final merge:
+    # (half-up-rounded score desc, doc_id asc) — otherwise a near-tie doc cut
+    # here by raw score could out-rank a kept one after rounding upstream
+    acc_r = np.floor(acc * 10.0**SCORE_DECIMALS + 0.5) / 10.0**SCORE_DECIMALS
+    sel = np.lexsort((uniq, -acc_r))[:k]
+    return uniq[sel], acc_r[sel], nb, len(cache)
+
+
+def _candidate_blocks(
+    spark: SparkSession, index_dir: str, queries: DataFrame, meta: IndexMeta
+) -> DataFrame:
+    """Postings blocks for query terms, tagged with qid + idf.
+
+    The term IN (...) filter is pushed into the parquet scan (predicate
+    pushdown + row-group stat skipping); the bytes column is read only for
+    surviving blocks' row groups. qterms and dictionary are broadcast.
+    """
+    postings = spark.read.parquet(f"{index_dir}/postings")
+    dictionary = spark.read.parquet(f"{index_dir}/dictionary")
+    qt = query_terms(queries)
+    qterm_list = [r.term for r in qt.select("term").distinct().collect()]
+    n = float(meta.n_docs)
+    idf = F.log(F.lit(1.0) + (F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    return (
+        postings.filter(F.col("term").isin(qterm_list))
+        .join(F.broadcast(qt), "term")
+        .join(F.broadcast(dictionary.withColumn("idf", idf).select("term", "idf")), "term")
+    )
+
+
+def bm25_topk_indexed(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = K1_DEFAULT,
+    b: float = B_DEFAULT,
+    method: str = "wand",
+) -> DataFrame:
+    """-> (qid, doc_id, score, rank): identical output contract (and values)
+    as the exhaustive tf-frame ``bm25.bm25_topk``."""
+    meta = IndexMeta.load(index_dir)
+    use_wand = method == "wand"
+    cand = _candidate_blocks(spark, index_dir, queries, meta)
+
+    # per-shard partials keep k + headroom: rounded-score ties across distinct
+    # (tf, dl) profiles are ordered by doc_id in the final window, and ordinal
+    # order within a shard is (doc_len, doc_id) — the headroom guarantees every
+    # possible tie-class member at the k boundary survives the shard cut
+    keep_n = k + 32
+
+    def run(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        ords, scores, _, _ = _score_group_kernel(
+            pdf, k=keep_n, k1=k1, b=b, avgdl=meta.avgdl, use_wand=use_wand
+        )
+        return pd.DataFrame({"qid": key[0], "ord": ords, "score": scores})
+
+    partial = cand.groupBy("qid", "shard").applyInPandas(
+        run, schema="qid long, ord long, score double"
+    )
+    docmap = spark.read.parquet(f"{index_dir}/docmap")
+    resolved = partial.join(docmap, "ord").select("qid", "doc_id", "score")
+    ranked = grouped_topk(
+        resolved.withColumn("score", F.round("score", SCORE_DECIMALS)),
+        keys=["qid"],
+        order=[F.col("score").desc(), F.col("doc_id").asc()],
+        k=k,
+    )
+    return ranked.select("qid", "doc_id", "score", "rank")
+
+
+def wand_block_stats(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = K1_DEFAULT,
+    b: float = B_DEFAULT,
+) -> DataFrame:
+    """Diagnostics: per (qid, shard) blocks seen vs decoded under WAND."""
+    meta = IndexMeta.load(index_dir)
+    cand = _candidate_blocks(spark, index_dir, queries, meta)
+
+    def run(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        _, _, nb, ndec = _score_group_kernel(
+            pdf, k=k, k1=k1, b=b, avgdl=meta.avgdl, use_wand=True
+        )
+        return pd.DataFrame(
+            {"qid": [key[0]], "shard": [key[1]], "n_blocks": [nb], "n_decoded": [ndec]}
+        )
+
+    return cand.groupBy("qid", "shard").applyInPandas(
+        run, schema="qid long, shard int, n_blocks long, n_decoded long"
+    )

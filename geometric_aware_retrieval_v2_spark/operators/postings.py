@@ -1,0 +1,177 @@
+"""Posting-list construction: (term, doc_id, tf, dl) triples -> delta+varbyte
+compressed binary blocks with block-max metadata.
+
+Sharding / skew design (the "term-frequency-aware salting" requirement):
+the pack groupBy key is (term, shard) where ``shard = pmod(xxhash64(doc_id),
+n_shards)`` — a *document-pure* salt. Consequences, by construction:
+
+  * a heavy-hitter term's postings split into n_shards bounded groups, so no
+    single ``applyInPandas`` group can exceed ~|docs|/n_shards postings no
+    matter how hot the term is (the failure mode AQE cannot fix for grouped
+    UDFs — SURVEY.md §4 item 1);
+  * rare terms occupy only the shards their few docs hash into (no empty
+    groups materialize);
+  * because the salt is a function of the document alone, every query term's
+    posting for doc d lands in the same shard, so query-time scoring can be
+    a per-(qid, shard) *partial* top-k followed by a final merge — the
+    classic distributed document-sharded search topology, exact by
+    construction.
+
+Block layout (Ding & Suel block-max style): fixed-size blocks of sorted
+docIDs, payload = vbyte(gaps ++ tfs ++ dls); metadata per block carries
+(first_doc, last_doc, n, max_tf, min_dl). The BM25 per-term upper bound is
+reconstructed at query time as ub = idf * f(max_tf, min_dl): f is increasing
+in tf and decreasing in dl, so this bounds every posting in the block while
+keeping block packing independent of global corpus stats (avgdl) — which is
+what makes segments mergeable without re-compression.
+
+Scale: pack/merge are shuffle-on-(term,shard) + grouped Arrow UDFs; at 10^12
+docs n_shards grows with the cluster and nothing else changes.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from geometric_aware_retrieval_v2_spark.functions.varbyte import (
+    decode_postings_block,
+    varbyte_decode,
+    varbyte_encode,
+)
+
+BLOCK_SIZE_DEFAULT = 128
+
+POSTINGS_SCHEMA = (
+    "term string, shard int, block_id int, first_doc long, last_doc long, "
+    "n int, max_tf int, min_dl int, bytes binary"
+)
+
+_SIGN = np.uint64(1) << np.uint64(63)
+
+
+def _encode_block(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray) -> bytes:
+    u = doc_ids.astype(np.int64).astype(np.uint64) ^ _SIGN
+    gaps = np.empty_like(u)
+    gaps[0] = u[0]
+    np.subtract(u[1:], u[:-1], out=gaps[1:])
+    return varbyte_encode(
+        np.concatenate([gaps, tfs.astype(np.uint64), dls.astype(np.uint64)])
+    )
+
+
+def decode_block(buf: bytes, n: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """-> (doc_ids int64 asc, tfs, dls)."""
+    vals = varbyte_decode(buf)
+    u = np.cumsum(vals[:n], dtype=np.uint64)
+    return (u ^ _SIGN).astype(np.int64), vals[n : 2 * n], vals[2 * n :]
+
+
+def with_shard(tf_dl: DataFrame, n_shards: int) -> DataFrame:
+    """Attach the document-pure salt column."""
+    return tf_dl.withColumn(
+        "shard", F.pmod(F.xxhash64(F.col("doc_id")), F.lit(n_shards)).cast("int")
+    )
+
+
+def pack_postings(
+    tf_dl: DataFrame, n_shards: int, block_size: int = BLOCK_SIZE_DEFAULT
+) -> DataFrame:
+    """(doc_id, term, tf, dl)[ + shard] -> compressed block rows.
+
+    One shuffle on (term, shard); the pack itself is a vectorized NumPy pass
+    per group (sort once, slice into blocks, vbyte-encode each slice).
+    """
+    if "shard" not in tf_dl.columns:
+        tf_dl = with_shard(tf_dl, n_shards)
+
+    def pack(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        term, shard = key
+        order = np.argsort(pdf["doc_id"].to_numpy(), kind="mergesort")
+        doc_ids = pdf["doc_id"].to_numpy()[order]
+        tfs = pdf["tf"].to_numpy()[order]
+        dls = pdf["dl"].to_numpy()[order]
+        n = len(doc_ids)
+        rows = []
+        for b, lo in enumerate(range(0, n, block_size)):
+            hi = min(lo + block_size, n)
+            d, t, l = doc_ids[lo:hi], tfs[lo:hi], dls[lo:hi]
+            rows.append(
+                (
+                    term,
+                    int(shard),
+                    b,
+                    int(d[0]),
+                    int(d[-1]),
+                    int(hi - lo),
+                    int(t.max()),
+                    int(l.min()),
+                    _encode_block(d, t, l),
+                )
+            )
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "term", "shard", "block_id", "first_doc", "last_doc",
+                "n", "max_tf", "min_dl", "bytes",
+            ],
+        )
+
+    return tf_dl.groupBy("term", "shard").applyInPandas(pack, schema=POSTINGS_SCHEMA)
+
+
+def unpack_postings(postings: DataFrame) -> DataFrame:
+    """Inverse of pack: block rows -> (term, shard, doc_id, tf, dl).
+
+    Arrow-batched (``mapInPandas``), used by segment merge and by tests for
+    the lossless round-trip invariant.
+    """
+
+    def unpack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = []
+            for term, shard, n, buf in zip(
+                pdf["term"], pdf["shard"], pdf["n"], pdf["bytes"]
+            ):
+                d, t, l = decode_block(buf, int(n))
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "term": term,
+                            "shard": int(shard),
+                            "doc_id": d,
+                            "tf": t.astype(np.int64),
+                            "dl": l.astype(np.int64),
+                        }
+                    )
+                )
+            yield (
+                pd.concat(outs, ignore_index=True)
+                if outs
+                else pd.DataFrame(
+                    {
+                        "term": pd.Series(dtype=object),
+                        "shard": pd.Series(dtype="int32"),
+                        "doc_id": pd.Series(dtype="int64"),
+                        "tf": pd.Series(dtype="int64"),
+                        "dl": pd.Series(dtype="int64"),
+                    }
+                )
+            )
+
+    return postings.select("term", "shard", "n", "bytes").mapInPandas(
+        unpack, schema="term string, shard int, doc_id long, tf long, dl long"
+    )
+
+
+def merge_segments(
+    segments: DataFrame, n_shards: int, block_size: int = BLOCK_SIZE_DEFAULT
+) -> DataFrame:
+    """Distributed segment merge (SURVEY.md B6): union of per-build-partition
+    segment block rows -> decode -> re-pack into consolidated, doc-sorted,
+    non-overlapping blocks per (term, shard). One shuffle."""
+    return pack_postings(unpack_postings(segments), n_shards=n_shards, block_size=block_size)

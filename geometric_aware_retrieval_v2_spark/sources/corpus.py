@@ -80,7 +80,7 @@ def synth_corpus_files(
     vocab = _vocab(vocab_size)
     cdf = _zipf_cdf(vocab_size)
     repo_cdf = _zipf_cdf(n_repos, s=1.1)
-    seed64 = np.uint64(seed) * np.uint64(0xA24BAED4963EE407)
+    seed64 = np.uint64((seed * 0xA24BAED4963EE407) % (1 << 64))
 
     schema = "file_id long, repo string, path string, commit string, lang string, content string"
 

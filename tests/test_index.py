@@ -1,0 +1,154 @@
+"""Index lifecycle invariants (FIXTURES.md §E):
+  * indexed exhaustive scoring == tf-frame BM25 (rank-identical, same scores)
+  * block-max WAND == exhaustive on every fixture query
+  * resume-after-kill completes only missing partitions, identical results
+  * permutation invariance: input partitioning never changes the index
+  * content_sha256 survives the pipeline (BASELINE.json per-row invariant)
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from geometric_aware_retrieval_v2_spark.functions.tokenizer import doc_stats, tokenize_terms
+from geometric_aware_retrieval_v2_spark.operators import bm25
+from geometric_aware_retrieval_v2_spark.operators.index import (
+    build_index,
+    bm25_topk_indexed,
+    wand_block_stats,
+)
+from geometric_aware_retrieval_v2_spark.plans import manifest as mf
+from geometric_aware_retrieval_v2_spark.queryset import queries_df
+from geometric_aware_retrieval_v2_spark.sources.tables import docs_from_documents
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def index_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("index") / "idx")
+    docs = docs_from_documents(spark, SF_SMOKE)
+    build_index(spark, docs, d, n_partitions=4, n_shards=4, block_size=64)
+    return d
+
+
+def _collect_topk(df):
+    return sorted(
+        (r.qid, r.doc_id, r.score, r.rank) for r in df.collect()
+    )
+
+
+def test_indexed_matches_tf_frame(spark, index_dir):
+    docs = docs_from_documents(spark, SF_SMOKE)
+    want = _collect_topk(
+        bm25.bm25_topk(tokenize_terms(docs), doc_stats(docs), queries_df(spark), k=10)
+    )
+    got = _collect_topk(
+        bm25_topk_indexed(spark, index_dir, queries_df(spark), k=10, method="exhaustive")
+    )
+    assert got == want
+
+
+def test_wand_equals_exhaustive(spark, index_dir):
+    ex = _collect_topk(
+        bm25_topk_indexed(spark, index_dir, queries_df(spark), k=10, method="exhaustive")
+    )
+    wd = _collect_topk(
+        bm25_topk_indexed(spark, index_dir, queries_df(spark), k=10, method="wand")
+    )
+    assert wd == ex
+
+
+def test_wand_skips_blocks(spark, tmp_path):
+    """Pruning needs idf spread: on the uniform 31-term driver corpus there is
+    nothing to skip (every term is in ~90% of docs), so exercise WAND on the
+    Zipf(1.2) synthetic code corpus with a rare+hot term query."""
+    from geometric_aware_retrieval_v2_spark.sources.corpus import (
+        corpus_to_docs,
+        synth_corpus_files,
+    )
+    from geometric_aware_retrieval_v2_spark.operators.index import build_index as bi
+
+    d = str(tmp_path / "zipf_idx")
+    docs = corpus_to_docs(synth_corpus_files(spark, 2000, partitions=8)).select(
+        "doc_id", "content"
+    )
+    bi(spark, docs, d, n_partitions=2, n_shards=2, block_size=64, tokenizer_mode="code")
+    qs = spark.createDataFrame(
+        [(1, "def ident_3999"), (2, "return val ident_2500"), (3, "class import")],
+        schema="qid long, text string",
+    )
+    stats = wand_block_stats(spark, d, qs, k=10).agg(
+        F.sum("n_blocks").alias("nb"), F.sum("n_decoded").alias("nd")
+    ).collect()[0]
+    assert stats.nd < stats.nb, f"WAND decoded all {stats.nb} blocks — no pruning"
+    # and it must stay exact
+    ex = _collect_topk(bm25_topk_indexed(spark, d, qs, k=10, method="exhaustive"))
+    wd = _collect_topk(bm25_topk_indexed(spark, d, qs, k=10, method="wand"))
+    assert wd == ex
+
+
+def test_resume_and_permutation_invariance(spark, index_dir, tmp_path):
+    docs = docs_from_documents(spark, SF_SMOKE)
+
+    # permutation invariance: different input partitioning -> same results
+    d2 = str(tmp_path / "idx2")
+    build_index(spark, docs.repartition(13), d2, n_partitions=4, n_shards=4, block_size=64)
+    a = _collect_topk(bm25_topk_indexed(spark, index_dir, queries_df(spark), k=10))
+    b = _collect_topk(bm25_topk_indexed(spark, d2, queries_df(spark), k=10))
+    assert a == b
+
+    # resume: kill after 2 committed docstats partitions -> resume completes
+    d3 = str(tmp_path / "idx3")
+    with pytest.raises(RuntimeError):
+        _build_partial(spark, docs, d3)
+    done_before = set(mf.completed_partitions(spark, d3, "docstats"))
+    assert len(done_before) == 2
+    build_index(spark, docs, d3, n_partitions=4, n_shards=4, block_size=64)
+    assert set(mf.completed_partitions(spark, d3, "docstats")) == {0, 1, 2, 3}
+    assert set(mf.completed_partitions(spark, d3, "segments")) == {0, 1, 2, 3}
+    c = _collect_topk(bm25_topk_indexed(spark, d3, queries_df(spark), k=10))
+    assert c == a
+    # the resumed run must not have rewritten completed partitions: manifest
+    # has exactly one row per (stage, partition)
+    m = mf.read_manifest(spark, d3)
+    per_part = m.groupBy("stage", "partition_id").count().collect()
+    assert all(r["count"] == 1 for r in per_part)
+
+
+def _build_partial(spark, docs, index_dir):
+    """Simulate a crash after 2 segment partitions by monkey-layering."""
+    import geometric_aware_retrieval_v2_spark.operators.index as idx
+
+    calls = {"n": 0}
+    orig = mf.append_manifest
+
+    def crashing(spark_, dir_, rows):
+        orig(spark_, dir_, rows)
+        calls["n"] += 1
+        if calls["n"] >= 2:
+            raise RuntimeError("simulated crash")
+
+    mf_append = mf.append_manifest
+    try:
+        mf.append_manifest = crashing
+        idx.mf.append_manifest = crashing
+        build_index(spark, docs, index_dir, n_partitions=4, n_shards=4, block_size=64)
+    finally:
+        mf.append_manifest = mf_append
+        idx.mf.append_manifest = mf_append
+
+
+def test_content_sha_invariant(spark, index_dir):
+    """docstats sha256 equals recomputing from the source table row-by-row."""
+    src = docs_from_documents(spark, SF_SMOKE).select(
+        "doc_id", F.sha2("content", 256).alias("expected")
+    )
+    stored = spark.read.parquet(f"{index_dir}/docstats").select("doc_id", "content_sha256")
+    n_total = src.count()
+    n_match = stored.join(src, "doc_id").filter(
+        F.col("content_sha256") == F.col("expected")
+    ).count()
+    assert n_match == n_total
