@@ -83,6 +83,229 @@ def q_bm25_topk_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk_indexed(spark, idx, queries_df(spark), k=10, method="wand")
 
 
+# ------------------------------------------------------------- geometric ops
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def _qvecs(spark: SparkSession, sf_dir: str, n_queries: int = 10) -> DataFrame:
+    """First n embedding vectors double as the query set (deterministic)."""
+    e = _emb(spark, sf_dir).filter(F.col("vec_id") < n_queries)
+    return e.select(
+        F.col("vec_id").alias("qid"), F.col("embedding").cast("array<double>").alias("qvec")
+    )
+
+
+def _knn_edges(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
+    from geometric_aware_retrieval_v2_spark.operators.knn import knn_edges
+
+    return knn_edges(_emb(spark, sf_dir), k=k, metric="cosine", n_blocks=4)
+
+
+def q_knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _knn_edges(spark, sf_dir, k=5)
+
+
+def q_forman_curvature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geometric_aware_retrieval_v2_spark.operators.curvature import forman_curvature
+
+    return forman_curvature(_knn_edges(spark, sf_dir, k=5))
+
+
+def q_node_curvature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geometric_aware_retrieval_v2_spark.operators.curvature import (
+        forman_curvature,
+        node_avg_curvature,
+    )
+
+    return node_avg_curvature(forman_curvature(_knn_edges(spark, sf_dir, k=5), rounded=False))
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geometric_aware_retrieval_v2_spark.operators.rerank import cosine_topk
+
+    return cosine_topk(_emb(spark, sf_dir), _qvecs(spark, sf_dir), k=10)
+
+
+def q_curvature_mix_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geometric_aware_retrieval_v2_spark.operators.curvature import (
+        forman_curvature,
+        node_avg_curvature,
+    )
+    from geometric_aware_retrieval_v2_spark.operators.rerank import curvature_mix_topk
+
+    nc = node_avg_curvature(forman_curvature(_knn_edges(spark, sf_dir, k=5), rounded=False))
+    return curvature_mix_topk(
+        _emb(spark, sf_dir), _qvecs(spark, sf_dir), nc, alpha=0.3, k=10
+    )
+
+
+def q_graph_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geometric_aware_retrieval_v2_spark.operators.evalops import (
+        graph_distribution_metrics,
+    )
+
+    n = _emb(spark, sf_dir).count()
+    return graph_distribution_metrics(_knn_edges(spark, sf_dir, k=5), n_nodes=n)
+
+
+def q_ndcg_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geometric_aware_retrieval_v2_spark.operators.evalops import ndcg_recall
+    from geometric_aware_retrieval_v2_spark.operators.rerank import cosine_topk
+
+    emb = _emb(spark, sf_dir)
+    run = cosine_topk(emb, _qvecs(spark, sf_dir), k=50).select(
+        "qid", "doc_id", F.col("sim").alias("score")
+    )
+    lbl = emb.select("vec_id", "label")
+    q = lbl.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("label").alias("qlabel")
+    )
+    qrels = (
+        q.join(lbl, q.qlabel == lbl.label)
+        .select("qid", F.col("vec_id").alias("doc_id"), F.lit(1).alias("rel"))
+    )
+    return ndcg_recall(run, qrels, k=10)
+
+
+def q_geodesic_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strategy C over the induced global k-NN graph (no SQL oracle —
+    Dijkstra is not expressible in one DuckDB query; parity is enforced by
+    tests/test_geo_parity.py against the NumPy oracle)."""
+    from geometric_aware_retrieval_v2_spark.operators.rerank import (
+        cosine_topk,
+        geodesic_rerank,
+    )
+
+    emb = _emb(spark, sf_dir)
+    qvecs = _qvecs(spark, sf_dir)
+    hits = cosine_topk(emb, qvecs, k=50)
+    cands = (
+        hits.select("qid", "doc_id")
+        .join(emb.withColumnRenamed("vec_id", "doc_id"), "doc_id")
+        .join(qvecs, "qid")
+        .select("qid", "doc_id", "embedding", "qvec")
+    )
+    return geodesic_rerank(cands, k=10, connect_k=10, edges=_knn_edges(spark, sf_dir, k=5))
+
+
+def q_ppr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPR diffusion rerank (20 power iterations in a grouped NumPy kernel;
+    no SQL oracle — parity via tests/test_geo_parity.py)."""
+    from geometric_aware_retrieval_v2_spark.operators.rerank import (
+        cosine_topk,
+        ppr_rerank,
+    )
+
+    emb = _emb(spark, sf_dir)
+    qvecs = _qvecs(spark, sf_dir)
+    hits = cosine_topk(emb, qvecs, k=50)
+    cands = (
+        hits.select("qid", "doc_id")
+        .join(emb.withColumnRenamed("vec_id", "doc_id"), "doc_id")
+        .join(qvecs, "qid")
+        .select("qid", "doc_id", "embedding", "qvec")
+    )
+    return ppr_rerank(cands, k=50, adjacency="cosine")
+
+
+def q_bm25_geodesic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship north-star pipeline: exact BM25 -> candidate k-NN graph ->
+    geodesic rerank (rows-only driver check; NumPy-oracle parity in tests)."""
+    from geometric_aware_retrieval_v2_spark.operators.pipelines import bm25_geodesic
+
+    return bm25_geodesic(
+        spark,
+        _docs(spark, sf_dir),
+        _emb(spark, sf_dir),
+        queries_df(spark),
+        k=10,
+        search_k=50,
+    )
+
+
+# ------------------------------------------------------------- eval metrics
+
+def q_rare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geometric_aware_retrieval_v2_spark.operators.evalops import rare_overlap
+
+    d = load_table(spark, sf_dir, "documents")
+    a = d.filter(F.col("doc_id") < 100).select(
+        F.col("doc_id").alias("case_id"),
+        F.array("text").alias("docs"),
+        F.pmod(F.col("doc_id") + 7, F.lit(500)).alias("ref_id"),
+    )
+    b = d.select(F.col("doc_id").alias("ref_id"), F.col("text").alias("reference"))
+    return rare_overlap(a.join(b, "ref_id").select("case_id", "docs", "reference"))
+
+
+def _judge_cases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    extra = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("fact evidence"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("reason citation with evidence"))
+        .otherwise(F.lit(""))
+    )
+    return d.select(
+        F.col("doc_id").alias("case_id"), F.array(F.col("text"), extra).alias("docs")
+    )
+
+
+def q_mock_judge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geometric_aware_retrieval_v2_spark.operators.evalops import mock_judge
+
+    return mock_judge(_judge_cases(spark, sf_dir))
+
+
+def q_sud(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geometric_aware_retrieval_v2_spark.operators.evalops import sud
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    cases = d.select(
+        F.col("doc_id").alias("case_id"),
+        F.array(
+            F.col("text"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit("fact")).otherwise(F.lit("")),
+        ).alias("gt_docs"),
+        F.array(
+            F.col("text"),
+            F.when(F.col("doc_id") % 4 == 0, F.lit("fact evidence reason citation"))
+            .otherwise(F.lit("evidence")),
+        ).alias("new_docs"),
+    )
+    return sud(cases)
+
+
+def q_nms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geometric_aware_retrieval_v2_spark.operators.evalops import non_monotonicity
+
+    pts = (
+        _emb(spark, sf_dir)
+        .filter(F.col("vec_id") < 100)
+        .select(
+            F.col("vec_id").alias("idx"),
+            ((F.col("vec_id") * 37) % 101).cast("double") / 100,
+            ((F.col("vec_id") * 73) % 89).cast("double") / 88,
+        )
+        .toDF("idx", "recall", "quality")
+    )
+    return non_monotonicity(pts)
+
+
+def q_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geometric_aware_retrieval_v2_spark.operators.evalops import (
+        contradiction_resilience,
+    )
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    cases = d.select(
+        F.col("doc_id").alias("case_id"),
+        F.array(F.col("text"), F.expr("repeat('not ', cast(doc_id % 4 as int))")).alias("docs"),
+    )
+    return contradiction_resilience(cases)
+
+
 # ------------------------------------------------------- classic SQL coverage
 
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -138,19 +361,45 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -------------------------------------------------------------- driver surface
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: BM25 top-10 over the sf0.001 documents corpus for the fixed
-    reference query set (geometric re-rank joins in at Stage 5)."""
-    return q_bm25_topk(spark, SF0001)
+    """Flagship (north star): exact BM25 retrieval over the sf0.001 corpus for
+    the fixed reference query set, re-ranked by the geometric stage (candidate
+    k-NN graph + geodesic Strategy C) in a grouped NumPy kernel."""
+    return q_bm25_geodesic(spark, SF0001)
+
+
+# operators whose semantics are not expressible as one DuckDB query (graph
+# iteration); the driver records a rows-only check and pytest enforces
+# NumPy-oracle parity instead (tests/test_geo_parity.py)
+NON_SQL = {"geodesic_rerank", "ppr_rerank", "bm25_geodesic"}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # lexical / index
         "tokenize_tf": q_tokenize_tf,
         "doc_stats": q_doc_stats,
         "term_df": q_term_df,
         "corpus_stats": q_corpus_stats,
         "bm25_topk": q_bm25_topk,
         "bm25_topk_wand": q_bm25_topk_wand,
+        # geometric
+        "knn_edges": q_knn_edges,
+        "forman_curvature": q_forman_curvature,
+        "node_curvature": q_node_curvature,
+        "cosine_topk": q_cosine_topk,
+        "curvature_mix_topk": q_curvature_mix_topk,
+        "graph_metrics": q_graph_metrics,
+        "geodesic_rerank": q_geodesic_rerank,
+        "ppr_rerank": q_ppr_rerank,
+        "bm25_geodesic": q_bm25_geodesic,
+        # eval metrics
+        "ndcg_recall": q_ndcg_recall,
+        "rare": q_rare,
+        "mock_judge": q_mock_judge,
+        "sud": q_sud,
+        "nms": q_nms,
+        "core": q_core,
+        # classic SQL coverage
         "tpch_q1": q_tpch_q1,
         "top_customers": q_top_customers,
         "events_hourly": q_events_hourly,
@@ -165,6 +414,18 @@ def oracle_sql() -> dict[str, str]:
         "corpus_stats": oracles.corpus_stats_sql(),
         "bm25_topk": oracles.bm25_topk_sql(k=10),
         "bm25_topk_wand": oracles.bm25_topk_sql(k=10),
+        "knn_edges": oracles.knn_edges_sql(k=5),
+        "forman_curvature": oracles.forman_curvature_sql(k=5),
+        "node_curvature": oracles.node_curvature_sql(k=5),
+        "cosine_topk": oracles.cosine_topk_sql(k=10),
+        "curvature_mix_topk": oracles.curvature_mix_topk_sql(alpha=0.3, k=10),
+        "graph_metrics": oracles.graph_metrics_sql(knn_k=5),
+        "ndcg_recall": oracles.ndcg_recall_sql(k=10),
+        "rare": oracles.rare_sql(),
+        "mock_judge": oracles.mock_judge_sql(),
+        "sud": oracles.sud_sql(),
+        "nms": oracles.nms_sql(),
+        "core": oracles.core_sql(),
         "tpch_q1": oracles.tpch_q1_sql(),
         "top_customers": oracles.top_customers_sql(k=20),
         "events_hourly": oracles.events_hourly_sql(),

@@ -1,0 +1,154 @@
+"""Exact global k-NN graph construction over an embedding table.
+
+Reference parity: build_knn_graph (/root/reference/geoIR/geo/graph.py:24-87)
+— per node the k nearest by cosine (1-cos distance) or euclidean, self
+excluded, undirected weighted edges. The reference densifies an O(n^2)
+distance matrix ("enough for <10k nodes", graph.py:3-6); this operator is the
+distributed re-design: a block-nested-loop similarity join.
+
+Physical plan:
+  1. embeddings are grouped into B hash blocks; each block densifies to one
+     NumPy (n_b, d) matrix row (applyInPandas);
+  2. the B x B block-pair cross join runs one GEMM per pair inside
+     mapInPandas, each pair emitting only its per-source top-k candidates
+     (k << n_b, so the shuffle carries O(n*k*B) rows, not O(n^2));
+  3. a per-source top-k window merges candidates globally.
+
+At 100 TB-scale this is the standard exact-kNN fallback; the ANN path
+(operators/simsearch.py IVF) bounds the pair fan-out instead. Tie-break is
+pinned to (round(dist, 9) asc, dst asc) — the reference's stable-argsort
+order — so results are partition-invariant and oracle-comparable.
+
+The undirected edge set keeps (src < dst) canonical rows: nx.Graph semantics
+(an edge exists if either endpoint selected it; duplicate add keeps one).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from geometric_aware_retrieval_v2_spark.operators.topk import grouped_topk
+
+DIST_DECIMALS = 9
+WEIGHT_DECIMALS = 6
+
+
+def _pack_blocks(emb: DataFrame, n_blocks: int, id_col: str, vec_col: str) -> DataFrame:
+    tagged = emb.withColumn(
+        "block", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int")
+    )
+
+    def pack(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+        return pd.DataFrame(
+            {
+                "block": [int(key[0])],
+                "ids": [ids.tobytes()],
+                "mat": [mat.tobytes()],
+                "n": [len(ids)],
+                "d": [mat.shape[1]],
+            }
+        )
+
+    return tagged.groupBy("block").applyInPandas(
+        pack, schema="block int, ids binary, mat binary, n int, d int"
+    )
+
+
+def knn_candidates(
+    emb: DataFrame,
+    k: int,
+    metric: str = "cosine",
+    n_blocks: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    normalize: bool = True,
+) -> DataFrame:
+    """Directed candidate edges (src, dst, dist): per-src top-k within each
+    block pair; finalize with the global window in ``knn_edges``."""
+    blocks = _pack_blocks(emb, n_blocks, id_col, vec_col)
+    pairs = (
+        blocks.alias("a")
+        .crossJoin(blocks.alias("b"))
+        .select(
+            F.col("a.ids").alias("ids_a"), F.col("a.mat").alias("mat_a"),
+            F.col("a.n").alias("n_a"), F.col("a.d").alias("d"),
+            F.col("b.ids").alias("ids_b"), F.col("b.mat").alias("mat_b"),
+            F.col("b.n").alias("n_b"),
+        )
+    )
+
+    def gemm(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                ids_a = np.frombuffer(row.ids_a, dtype=np.int64)
+                ids_b = np.frombuffer(row.ids_b, dtype=np.int64)
+                A = np.frombuffer(row.mat_a, dtype=np.float64).reshape(row.n_a, row.d)
+                Bm = np.frombuffer(row.mat_b, dtype=np.float64).reshape(row.n_b, row.d)
+                if normalize and metric == "cosine":
+                    A = A / np.maximum(np.linalg.norm(A, axis=1, keepdims=True), 1e-30)
+                    Bm = Bm / np.maximum(np.linalg.norm(Bm, axis=1, keepdims=True), 1e-30)
+                if metric == "cosine":
+                    dist = 1.0 - A @ Bm.T
+                else:
+                    sq = (
+                        np.sum(A * A, axis=1)[:, None]
+                        + np.sum(Bm * Bm, axis=1)[None, :]
+                        - 2.0 * (A @ Bm.T)
+                    )
+                    dist = np.sqrt(np.maximum(sq, 0.0))
+                # mask self-pairs, keep per-src top-k within the pair
+                self_mask = ids_a[:, None] == ids_b[None, :]
+                dist = np.where(self_mask, np.inf, dist)
+                kk = min(k, dist.shape[1])
+                part = np.argpartition(dist, kk - 1, axis=1)[:, :kk]
+                srcs = np.repeat(ids_a, kk)
+                dsts = ids_b[part.ravel()]
+                ds = np.take_along_axis(dist, part, axis=1).ravel()
+                keep = np.isfinite(ds)
+                yield pd.DataFrame(
+                    {"src": srcs[keep], "dst": dsts[keep], "dist": ds[keep]}
+                )
+
+    return pairs.mapInPandas(gemm, schema="src long, dst long, dist double")
+
+
+def knn_edges(
+    emb: DataFrame,
+    k: int,
+    metric: str = "cosine",
+    n_blocks: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    normalize: bool = True,
+) -> DataFrame:
+    """Undirected weighted k-NN graph: (src, dst, weight) with src < dst.
+
+    weight = distance (1-cos or L2), rounded to 6 decimals for cross-engine
+    hash stability. Mirrors nx.Graph dedup of the reference edge build
+    (graph.py:74-82).
+    """
+    cand = knn_candidates(emb, k, metric, n_blocks, id_col, vec_col, normalize)
+    directed = grouped_topk(
+        cand.withColumn("dist_r", F.round("dist", DIST_DECIMALS)),
+        keys=["src"],
+        order=[F.col("dist_r").asc(), F.col("dst").asc()],
+        k=k,
+    )
+    # weight rounds the RAW distance once (round(round(x,9),6) would create
+    # exact .5 midpoints at the 6dp boundary — double-rounding hazard)
+    return (
+        directed.select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+            F.round("dist", WEIGHT_DECIMALS).alias("weight"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.min("weight").alias("weight"))
+    )

@@ -111,6 +111,266 @@ def top_customers_sql(k: int = 20) -> str:
     """
 
 
+# ---------------------------------------------------------------- geometric
+
+EMB = "SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings"
+
+KNN_EDGES = """
+  SELECT src, dst, min(weight) AS weight FROM (
+    SELECT least(src, dst) AS src, greatest(src, dst) AS dst, round(dist, 6) AS weight
+    FROM (
+      SELECT src, dst, dist,
+             row_number() OVER (PARTITION BY src ORDER BY round(dist, 9) ASC, dst ASC) AS rn
+      FROM (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+               1.0 - list_cosine_similarity(a.v, b.v) AS dist
+        FROM ({emb}) a JOIN ({emb}) b ON a.vec_id <> b.vec_id
+      )
+    ) WHERE rn <= {k}
+  ) GROUP BY src, dst
+""".replace("{emb}", EMB)
+
+FORMAN = """
+  SELECT e.src, e.dst,
+         {kround} AS kappa
+  FROM ({edges}) e
+  JOIN (SELECT node, sum(weight) AS strength, sum(1.0/sqrt(weight)) AS rsqrt_sum
+        FROM (SELECT src AS node, weight FROM ({edges}) WHERE weight <> 0
+              UNION ALL
+              SELECT dst AS node, weight FROM ({edges}) WHERE weight <> 0)
+        GROUP BY node) su ON e.src = su.node
+  JOIN (SELECT node, sum(weight) AS strength, sum(1.0/sqrt(weight)) AS rsqrt_sum
+        FROM (SELECT src AS node, weight FROM ({edges}) WHERE weight <> 0
+              UNION ALL
+              SELECT dst AS node, weight FROM ({edges}) WHERE weight <> 0)
+        GROUP BY node) sv ON e.dst = sv.node
+  WHERE e.weight <> 0 AND su.strength <> 0 AND sv.strength <> 0
+"""
+
+
+def knn_edges_sql(k: int = 5) -> str:
+    return KNN_EDGES.replace("{k}", str(k))
+
+
+_KAPPA_RAW = (
+    "e.weight * (1.0/su.strength + 1.0/sv.strength)"
+    " - sqrt(e.weight) * (su.rsqrt_sum - 1.0/sqrt(e.weight))"
+    " - sqrt(e.weight) * (sv.rsqrt_sum - 1.0/sqrt(e.weight))"
+)
+
+
+def forman_curvature_sql(k: int = 5, rounded: bool = True) -> str:
+    kexpr = f"round({_KAPPA_RAW}, 6)" if rounded else _KAPPA_RAW
+    return FORMAN.replace("{kround}", kexpr).replace("{edges}", knn_edges_sql(k))
+
+
+def node_curvature_sql(k: int = 5) -> str:
+    raw = forman_curvature_sql(k, rounded=False)
+    return f"""
+    SELECT node, round(avg(kappa), 6) AS avg_kappa FROM (
+      SELECT src AS node, kappa FROM ({raw})
+      UNION ALL
+      SELECT dst AS node, kappa FROM ({raw})
+    ) GROUP BY node
+    """
+
+
+def cosine_topk_sql(k: int = 10, n_queries: int = 10) -> str:
+    return f"""
+    WITH q AS (SELECT vec_id AS qid, v AS qv FROM ({EMB}) WHERE vec_id < {n_queries}),
+    s AS (
+      SELECT q.qid, e.vec_id AS doc_id, list_cosine_similarity(e.v, q.qv) AS cos
+      FROM ({EMB}) e CROSS JOIN q
+    ),
+    r AS (
+      SELECT qid, doc_id, cos,
+             row_number() OVER (PARTITION BY qid ORDER BY round(cos, 9) DESC, doc_id DESC) AS rank
+      FROM s
+    )
+    SELECT qid, doc_id, round(cos, 6) AS sim, rank FROM r WHERE rank <= {k}
+    """
+
+
+def curvature_mix_topk_sql(alpha: float = 0.3, k: int = 10, knn_k: int = 5, n_queries: int = 10) -> str:
+    return f"""
+    WITH nc AS ({node_curvature_sql(knn_k)}),
+    q AS (SELECT vec_id AS qid, v AS qv FROM ({EMB}) WHERE vec_id < {n_queries}),
+    s AS (
+      SELECT q.qid, e.vec_id AS doc_id,
+             (1.0 - {alpha}) * list_cosine_similarity(e.v, q.qv)
+             + {alpha} * coalesce(nc.avg_kappa, 0.0) AS mix
+      FROM ({EMB}) e CROSS JOIN q LEFT JOIN nc ON nc.node = e.vec_id
+    ),
+    r AS (
+      SELECT qid, doc_id, mix,
+             row_number() OVER (PARTITION BY qid ORDER BY round(mix, 9) DESC, doc_id DESC) AS rank
+      FROM s
+    )
+    SELECT qid, doc_id, round(mix, 6) AS score, rank FROM r WHERE rank <= {k}
+    """
+
+
+def graph_metrics_sql(knn_k: int = 5) -> str:
+    return f"""
+    WITH e AS ({knn_edges_sql(knn_k)}),
+    n AS (SELECT count(*)::DOUBLE AS n_nodes FROM embeddings),
+    bidir AS (SELECT src AS node, weight FROM e UNION ALL SELECT dst, weight FROM e),
+    rows_ AS (SELECT node, sum(weight) AS row_sum FROM bidir GROUP BY node),
+    p AS (SELECT b.node, b.weight / (r.row_sum + 1e-12) AS p
+          FROM bidir b JOIN rows_ r ON b.node = r.node),
+    per_node AS (
+      SELECT node, -sum(p * ln(p + 1e-12)) AS h, sum(p * p) AS p2 FROM p GROUP BY node
+    )
+    SELECT round(sum(h) / (SELECT n_nodes FROM n), 6) AS entropy,
+           round(1.0 / (sum(p2) / (SELECT n_nodes FROM n)), 6) AS effective_degree
+    FROM per_node
+    """
+
+
+def ndcg_recall_sql(k: int = 10, n_queries: int = 10, run_k: int = 50) -> str:
+    run = cosine_topk_sql(k=run_k, n_queries=n_queries)
+    return f"""
+    WITH run AS ({run}),
+    lbl AS (SELECT vec_id, label FROM embeddings),
+    qrels AS (
+      SELECT q.vec_id AS qid, d.vec_id AS doc_id, 1 AS rel
+      FROM lbl q JOIN lbl d ON q.label = d.label
+      WHERE q.vec_id < {n_queries}
+    ),
+    ranked AS (
+      SELECT qid, doc_id, sim AS score,
+             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, doc_id ASC) AS rank
+      FROM run
+    ),
+    hit AS (
+      SELECT r.qid, sum(qr.rel / log2(r.rank + 1.0)) AS dcg, count(*) AS hits
+      FROM ranked r JOIN qrels qr ON r.qid = qr.qid AND r.doc_id = qr.doc_id
+      WHERE r.rank <= {k}
+      GROUP BY r.qid
+    ),
+    ideal AS (
+      SELECT qid, sum(rel / log2(irank + 1.0)) AS idcg FROM (
+        SELECT qid, rel, row_number() OVER (PARTITION BY qid ORDER BY rel DESC, doc_id ASC) AS irank
+        FROM qrels
+      ) WHERE irank <= {k} GROUP BY qid
+    ),
+    totals AS (SELECT qid, count(*) AS n_rel FROM qrels GROUP BY qid)
+    SELECT t.qid,
+           round(coalesce(h.dcg, 0.0) / i.idcg, 6) AS ndcg,
+           round(coalesce(h.hits, 0)::DOUBLE / t.n_rel, 6) AS recall
+    FROM totals t LEFT JOIN ideal i ON t.qid = i.qid LEFT JOIN hit h ON t.qid = h.qid
+    """
+
+
+# ------------------------------------------------------------- eval metrics
+
+JUDGE_CASES = """
+  SELECT doc_id AS case_id,
+         [text, CASE WHEN doc_id % 3 = 0 THEN 'fact evidence'
+                     WHEN doc_id % 3 = 1 THEN 'reason citation with evidence'
+                     ELSE '' END] AS docs
+  FROM documents WHERE doc_id < 200
+"""
+
+_JUDGE_SCORE = """
+  (
+    (CASE WHEN contains(answer, 'fact') THEN 1 ELSE 0 END) +
+    (CASE WHEN contains(answer, 'reason') THEN 1 ELSE 0 END) +
+    (CASE WHEN contains(answer, 'evidence') THEN 1 ELSE 0 END) +
+    (CASE WHEN contains(answer, 'citation') THEN 1 ELSE 0 END)
+  )::DOUBLE / 4
+"""
+
+
+def rare_sql() -> str:
+    return """
+    WITH cases AS (
+      SELECT a.doc_id AS case_id, [a.text] AS docs, b.text AS reference
+      FROM documents a JOIN documents b ON b.doc_id = (a.doc_id + 7) % 500
+      WHERE a.doc_id < 100
+    ),
+    t AS (
+      SELECT case_id,
+             substr(array_to_string(docs, ' '), 1, 1000) AS answer,
+             reference
+      FROM cases
+    )
+    SELECT case_id,
+           round(len(list_intersect(list_distinct(string_split(answer, ' ')),
+                                    list_distinct(string_split(reference, ' '))))::DOUBLE
+                 / greatest(1, len(string_split(reference, ' '))), 6) AS rare
+    FROM t
+    """
+
+
+def mock_judge_sql() -> str:
+    return f"""
+    WITH cases AS ({JUDGE_CASES}),
+    t AS (SELECT case_id, lower(substr(array_to_string(docs, ' '), 1, 1000)) AS answer FROM cases)
+    SELECT case_id, round({_JUDGE_SCORE}, 6) AS judge_score FROM t
+    """
+
+
+def sud_sql() -> str:
+    return """
+    WITH cases AS (
+      SELECT doc_id AS case_id,
+             [text, CASE WHEN doc_id % 2 = 0 THEN 'fact' ELSE '' END] AS gt_docs,
+             [text, CASE WHEN doc_id % 4 = 0 THEN 'fact evidence reason citation' ELSE 'evidence' END] AS new_docs
+      FROM documents WHERE doc_id < 200
+    ),
+    s AS (
+      SELECT case_id,
+             lower(substr(array_to_string(gt_docs, ' '), 1, 1000)) AS ans_gt,
+             lower(substr(array_to_string(new_docs, ' '), 1, 1000)) AS ans_new
+      FROM cases
+    )
+    SELECT case_id, round(
+      ((CASE WHEN contains(ans_new, 'fact') THEN 1 ELSE 0 END) +
+       (CASE WHEN contains(ans_new, 'reason') THEN 1 ELSE 0 END) +
+       (CASE WHEN contains(ans_new, 'evidence') THEN 1 ELSE 0 END) +
+       (CASE WHEN contains(ans_new, 'citation') THEN 1 ELSE 0 END))::DOUBLE / 4
+      -
+      ((CASE WHEN contains(ans_gt, 'fact') THEN 1 ELSE 0 END) +
+       (CASE WHEN contains(ans_gt, 'reason') THEN 1 ELSE 0 END) +
+       (CASE WHEN contains(ans_gt, 'evidence') THEN 1 ELSE 0 END) +
+       (CASE WHEN contains(ans_gt, 'citation') THEN 1 ELSE 0 END))::DOUBLE / 4, 6) AS sud
+    FROM s
+    """
+
+
+def nms_sql() -> str:
+    return """
+    WITH pts AS (
+      SELECT vec_id AS idx,
+             ((vec_id * 37) % 101)::DOUBLE / 100 AS recall,
+             ((vec_id * 73) % 89)::DOUBLE / 88 AS quality
+      FROM embeddings WHERE vec_id < 100
+    )
+    SELECT round(sum(CASE WHEN a.recall < b.recall AND a.quality > b.quality THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*), 6) AS nms,
+           count(*) AS pairs
+    FROM pts a JOIN pts b ON a.idx < b.idx
+    """
+
+
+def core_sql() -> str:
+    return """
+    WITH cases AS (
+      SELECT doc_id AS case_id,
+             [text, repeat('not ', doc_id % 4)] AS docs
+      FROM documents WHERE doc_id < 200
+    ),
+    t AS (
+      SELECT case_id,
+             len(list_filter(string_split(lower(array_to_string(docs, ' ')), ' '),
+                 x -> x IN ('not','no','never','nor','none','nobody','nothing'))) AS negs
+      FROM cases
+    )
+    SELECT case_id, round(1.0 / (1.0 + negs), 6) AS core FROM t
+    """
+
+
 def events_hourly_sql() -> str:
     return """
     SELECT epoch(date_trunc('hour', ts))::BIGINT AS hour_epoch, event_type,

@@ -59,6 +59,12 @@ def test_entry_smoke(spark):
 
 def test_all_queries_have_oracle_or_are_flagged():
     missing = set(entry_mod.queries()) - set(entry_mod.oracle_sql())
-    # non-SQL-expressible ops are allowed but must be intentional
-    allowed_weak = {n for n in missing if n.endswith("_nosql")}
-    assert missing == allowed_weak, f"queries lacking oracles: {missing - allowed_weak}"
+    # non-SQL-expressible ops must be explicitly declared
+    assert missing == entry_mod.NON_SQL, f"undeclared oracle-less queries: {missing - entry_mod.NON_SQL}"
+
+
+@pytest.mark.parametrize("name", sorted(entry_mod.NON_SQL))
+def test_non_sql_queries_smoke(spark, name):
+    """Rows-only check for declared non-SQL ops (the driver's weak gate)."""
+    df = entry_mod.queries()[name](spark, SF_CORRECTNESS)
+    assert df.count() > 0
