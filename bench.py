@@ -1,0 +1,186 @@
+#!/usr/bin/env python
+"""Bench harness (SURVEY.md B11 / §7 Stage 7).
+
+Measures, at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS]:
+
+  1. index-build throughput (files/sec): full resumable build (tokenize ->
+     ordinals -> salted pack -> merge -> dictionary) over the deterministic
+     synthetic source-code corpus scaled to the sf;
+  2. per-query latency of block-max WAND BM25 top-10 over the compressed
+     index, one Spark job per query (p50 reported as the headline value);
+  3. geodesic-rerank pipeline latency over the driver embeddings table.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": p50_sec, "unit": "sec", "queries": {...}, "sf": ...,
+   extra keys: build_sec, files_per_sec, n_files, cpus}
+
+Scaling-efficiency evidence (local[8] vs local[32]) is produced by
+``python bench.py --scaling``, which re-execs this script at both
+parallelism levels and writes BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import subprocess
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+if str(REPO) not in sys.path:
+    sys.path.insert(0, str(REPO))
+
+SF_DIR_DEFAULT = "/root/testdata/sf0.1"
+FILES_PER_SF = 500_000  # sf0.1 -> 50k synthetic source files
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    name = os.path.basename(os.path.normpath(sf_dir))
+    try:
+        return float(name.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def run_bench(sf_dir: str, cpus: int) -> dict:
+    from pyspark.sql import functions as F
+
+    from geometric_aware_retrieval_v2_spark.code_queryset import CODE_QUERY_SET
+    from geometric_aware_retrieval_v2_spark.operators.index import (
+        bm25_topk_indexed,
+        build_index,
+    )
+    from geometric_aware_retrieval_v2_spark.operators.rerank import (
+        cosine_topk,
+        geodesic_rerank,
+    )
+    from geometric_aware_retrieval_v2_spark.session import get_spark
+    from geometric_aware_retrieval_v2_spark.sources.corpus import (
+        corpus_to_docs,
+        synth_corpus_files,
+    )
+    from geometric_aware_retrieval_v2_spark.sources.tables import load_table
+
+    sf = _sf_from_dir(sf_dir)
+    n_files = max(1000, int(FILES_PER_SF * sf))
+    spark = get_spark(app_name=f"bench-{cpus}", master=f"local[{cpus}]",
+                      shuffle_partitions=max(cpus, 8))
+
+    idx_dir = tempfile.mkdtemp(prefix=f"gar2_bench_idx_{cpus}_")
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    corpus_dir = tempfile.mkdtemp(prefix=f"gar2_bench_corpus_{cpus}_")
+
+    # materialize the input table first (the north-rule input is an Iceberg
+    # table of files, not a generator) — generation is NOT index-build time
+    corpus_to_docs(synth_corpus_files(spark, n_files, partitions=max(cpus, 8))).write.mode(
+        "overwrite"
+    ).parquet(corpus_dir)
+    corpus = spark.read.parquet(corpus_dir).select("doc_id", "content")
+
+    # -------- 1. index build throughput (full resumable pipeline)
+    t0 = time.monotonic()
+    build_index(
+        spark, corpus, idx_dir,
+        n_partitions=2, n_shards=max(cpus // 2, 4), block_size=128,
+        tokenizer_mode="code",
+    )
+    build_sec = time.monotonic() - t0
+
+    # -------- 2. WAND query latency over a hot (cached) index handle
+    from geometric_aware_retrieval_v2_spark.operators.index import IndexHandle
+
+    handle = IndexHandle(spark, idx_dir).cache()
+
+    def qdf(qid: int, text: str):
+        return spark.createDataFrame([(qid, text)], schema="qid long, text string")
+
+    bm25_topk_indexed(spark, handle, qdf(0, "def"), k=10).collect()  # warmup
+    per_query: dict[str, float] = {}
+    for qid, text in CODE_QUERY_SET:
+        t = time.monotonic()
+        bm25_topk_indexed(spark, handle, qdf(qid, text), k=10, method="wand").collect()
+        per_query[f"q{qid}"] = round(time.monotonic() - t, 4)
+
+    # -------- 3. geodesic rerank pipeline over the driver embeddings table
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvecs = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").cast("array<double>").alias("qvec"),
+    )
+    t = time.monotonic()
+    hits = cosine_topk(emb, qvecs, k=100)
+    cands = (
+        hits.select("qid", "doc_id")
+        .join(emb.withColumnRenamed("vec_id", "doc_id"), "doc_id")
+        .join(qvecs, "qid")
+        .select("qid", "doc_id", "embedding", "qvec")
+    )
+    geodesic_rerank(cands, k=10, connect_k=10, knn_k=10).collect()
+    rerank_sec = round(time.monotonic() - t, 4)
+
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    shutil.rmtree(corpus_dir, ignore_errors=True)
+    spark.stop()
+
+    p50 = statistics.median(per_query.values())
+    return {
+        "metric": "wand_bm25_query_p50_over_compressed_index",
+        "value": round(p50, 4),
+        "unit": "sec",
+        "queries": per_query,
+        "sf": sf,
+        "build_sec": round(build_sec, 2),
+        "files_per_sec": round(n_files / build_sec, 1),
+        "n_files": n_files,
+        "rerank_pipeline_sec": rerank_sec,
+        "cpus": cpus,
+    }
+
+
+def run_scaling(sf_dir: str) -> None:
+    """local[8] vs local[32] on identical input -> BENCH/BASELINE.md."""
+    results = {}
+    for cpus in (8, 32):
+        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_SF_DIR=sf_dir)
+        out = subprocess.run(
+            [sys.executable, __file__], env=env, capture_output=True, text=True,
+            timeout=3600,
+        )
+        line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+        results[cpus] = json.loads(line)
+    tp8 = results[8]["files_per_sec"]
+    tp32 = results[32]["files_per_sec"]
+    eff_build = tp32 / (4 * tp8)
+    q8, q32 = results[8]["value"], results[32]["value"]
+    os.makedirs(REPO / "BENCH", exist_ok=True)
+    with open(REPO / "BENCH" / "BASELINE.md", "w") as f:
+        f.write(
+            "# BENCH — measured baselines\n\n"
+            f"Input: deterministic synthetic source-code corpus, "
+            f"{results[8]['n_files']} files (sf={results[8]['sf']}), identical at both levels.\n\n"
+            "| parallelism | build files/sec | build sec | WAND query p50 (s) |\n"
+            "|---|---|---|---|\n"
+            f"| local[8] | {tp8} | {results[8]['build_sec']} | {q8} |\n"
+            f"| local[32] | {tp32} | {results[32]['build_sec']} | {q32} |\n\n"
+            f"**Index-build scaling efficiency (N -> 4N cores)** = "
+            f"throughput(32) / (4 x throughput(8)) = **{eff_build:.3f}**\n\n"
+            f"Query p50 speedup 8->32: {q8 / q32:.2f}x\n\n"
+            f"Raw: {json.dumps(results)}\n"
+        )
+    print(json.dumps({"scaling_efficiency_build": round(eff_build, 3),
+                      "tp8": tp8, "tp32": tp32}))
+
+
+if __name__ == "__main__":
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", SF_DIR_DEFAULT)
+    if "--scaling" in sys.argv:
+        run_scaling(sf_dir)
+    else:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        print(json.dumps(run_bench(sf_dir, cpus)))

@@ -13,10 +13,13 @@ from __future__ import annotations
 import numpy as np
 
 
-def varbyte_encode(vals: np.ndarray) -> bytes:
+def varbyte_encode_with_lengths(vals: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """-> (encoded bytes, per-value byte length). One vectorized pass for an
+    arbitrarily long value stream; callers slice out sub-ranges by the
+    cumsum of lengths (used to pack thousands of blocks in one call)."""
     vals = np.asarray(vals, dtype=np.uint64)
     if vals.size == 0:
-        return b""
+        return b"", np.empty(0, dtype=np.int64)
     nb = np.ones(len(vals), dtype=np.int64)
     v = vals >> np.uint64(7)
     while v.any():
@@ -29,7 +32,11 @@ def varbyte_encode(vals: np.ndarray) -> bytes:
     shifted = vals[idx] >> (pos_in.astype(np.uint64) * np.uint64(7))
     out = (shifted & np.uint64(0x7F)).astype(np.uint8)
     out[pos_in == (nb[idx] - 1)] |= np.uint8(0x80)
-    return out.tobytes()
+    return out.tobytes(), nb
+
+
+def varbyte_encode(vals: np.ndarray) -> bytes:
+    return varbyte_encode_with_lengths(vals)[0]
 
 
 def varbyte_decode(buf: bytes) -> np.ndarray:

@@ -128,7 +128,10 @@ def build_index(
     if -1 not in mf.completed_partitions(spark, index_dir, "docmap"):
         t0 = time.monotonic()
         dstats = spark.read.parquet(f"{index_dir}/docstats")
-        docmap = assign_ordinals(dstats, n_ranges=max(n_partitions, 8))
+        # docmap carries dl so segment jobs join ONE small table, not two
+        docmap = assign_ordinals(dstats, n_ranges=max(n_partitions, 8)).join(
+            dstats.select("doc_id", F.col("doc_len").alias("dl")), "doc_id"
+        )
         docmap.write.mode("overwrite").parquet(f"{index_dir}/docmap")
         mf.append_manifest(
             spark,
@@ -143,13 +146,7 @@ def build_index(
         )
 
     done = mf.completed_partitions(spark, index_dir, "segments")
-    docmap = spark.read.parquet(f"{index_dir}/docmap")
-    dl_by_ord = (
-        spark.read.parquet(f"{index_dir}/docstats")
-        .select("doc_id", F.col("doc_len").alias("dl"))
-        .join(docmap, "doc_id")
-        .select("doc_id", "ord", "dl")
-    )
+    dl_by_ord = spark.read.parquet(f"{index_dir}/docmap").select("doc_id", "ord", "dl")
     for p in range(n_partitions):
         if p in done:
             continue
@@ -291,31 +288,55 @@ def _score_group_kernel(
     return uniq[sel], acc_r[sel], nb, len(cache)
 
 
-def _candidate_blocks(
-    spark: SparkSession, index_dir: str, queries: DataFrame, meta: IndexMeta
-) -> DataFrame:
+class IndexHandle:
+    """A loaded index: postings/dictionary/docmap DataFrames + meta.
+
+    ``cache()`` pins the (metadata + payload) frames in executor memory so a
+    stream of queries pays the parquet scan once — the Spark analogue of a
+    search node keeping its segments hot. On a cluster the cache is
+    partitioned across executors like any other block-managed data.
+    """
+
+    def __init__(self, spark: SparkSession, index_dir: str):
+        self.spark = spark
+        self.index_dir = index_dir
+        self.meta = IndexMeta.load(index_dir)
+        self.postings = spark.read.parquet(f"{index_dir}/postings")
+        self.dictionary = spark.read.parquet(f"{index_dir}/dictionary")
+        self.docmap = spark.read.parquet(f"{index_dir}/docmap")
+
+    def cache(self) -> "IndexHandle":
+        self.postings = self.postings.cache()
+        self.dictionary = self.dictionary.cache()
+        self.docmap = self.docmap.cache()
+        self.postings.count(), self.dictionary.count(), self.docmap.count()
+        return self
+
+
+def _candidate_blocks(handle: IndexHandle, queries: DataFrame) -> DataFrame:
     """Postings blocks for query terms, tagged with qid + idf.
 
     The term IN (...) filter is pushed into the parquet scan (predicate
     pushdown + row-group stat skipping); the bytes column is read only for
     surviving blocks' row groups. qterms and dictionary are broadcast.
     """
-    postings = spark.read.parquet(f"{index_dir}/postings")
-    dictionary = spark.read.parquet(f"{index_dir}/dictionary")
     qt = query_terms(queries)
     qterm_list = [r.term for r in qt.select("term").distinct().collect()]
-    n = float(meta.n_docs)
+    n = float(handle.meta.n_docs)
     idf = F.log(F.lit(1.0) + (F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5))
     return (
-        postings.filter(F.col("term").isin(qterm_list))
+        handle.postings.filter(F.col("term").isin(qterm_list))
         .join(F.broadcast(qt), "term")
-        .join(F.broadcast(dictionary.withColumn("idf", idf).select("term", "idf")), "term")
+        .join(
+            F.broadcast(handle.dictionary.withColumn("idf", idf).select("term", "idf")),
+            "term",
+        )
     )
 
 
 def bm25_topk_indexed(
     spark: SparkSession,
-    index_dir: str,
+    index: str | IndexHandle,
     queries: DataFrame,
     k: int = 10,
     k1: float = K1_DEFAULT,
@@ -323,10 +344,12 @@ def bm25_topk_indexed(
     method: str = "wand",
 ) -> DataFrame:
     """-> (qid, doc_id, score, rank): identical output contract (and values)
-    as the exhaustive tf-frame ``bm25.bm25_topk``."""
-    meta = IndexMeta.load(index_dir)
+    as the exhaustive tf-frame ``bm25.bm25_topk``. Pass an ``IndexHandle``
+    (optionally .cache()d) to amortize index loading across queries."""
+    handle = IndexHandle(spark, index) if isinstance(index, str) else index
+    meta = handle.meta
     use_wand = method == "wand"
-    cand = _candidate_blocks(spark, index_dir, queries, meta)
+    cand = _candidate_blocks(handle, queries)
 
     # per-shard partials keep k + headroom: rounded-score ties across distinct
     # (tf, dl) profiles are ordered by doc_id in the final window, and ordinal
@@ -343,8 +366,7 @@ def bm25_topk_indexed(
     partial = cand.groupBy("qid", "shard").applyInPandas(
         run, schema="qid long, ord long, score double"
     )
-    docmap = spark.read.parquet(f"{index_dir}/docmap")
-    resolved = partial.join(docmap, "ord").select("qid", "doc_id", "score")
+    resolved = partial.join(handle.docmap, "ord").select("qid", "doc_id", "score")
     ranked = grouped_topk(
         resolved.withColumn("score", F.round("score", SCORE_DECIMALS)),
         keys=["qid"],
@@ -356,15 +378,16 @@ def bm25_topk_indexed(
 
 def wand_block_stats(
     spark: SparkSession,
-    index_dir: str,
+    index: str | IndexHandle,
     queries: DataFrame,
     k: int = 10,
     k1: float = K1_DEFAULT,
     b: float = B_DEFAULT,
 ) -> DataFrame:
     """Diagnostics: per (qid, shard) blocks seen vs decoded under WAND."""
-    meta = IndexMeta.load(index_dir)
-    cand = _candidate_blocks(spark, index_dir, queries, meta)
+    handle = IndexHandle(spark, index) if isinstance(index, str) else index
+    meta = handle.meta
+    cand = _candidate_blocks(handle, queries)
 
     def run(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         _, _, nb, ndec = _score_group_kernel(

@@ -78,50 +78,95 @@ def with_shard(tf_dl: DataFrame, n_shards: int) -> DataFrame:
     )
 
 
+def _pack_partition(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
+    """Vectorized whole-partition block packer. ``pdf`` holds complete
+    (term, shard) groups sorted by (term, shard, doc_id). One varbyte pass
+    per stream for ALL blocks; per-block stats via ufunc.reduceat — no
+    per-group pandas objects, no per-block Python beyond byte slicing."""
+    from geometric_aware_retrieval_v2_spark.functions.varbyte import (
+        varbyte_encode_with_lengths,
+    )
+
+    n = len(pdf)
+    terms = pdf["term"].to_numpy()
+    shards = pdf["shard"].to_numpy()
+    docs = pdf["doc_id"].to_numpy(dtype=np.int64)
+    tfs = pdf["tf"].to_numpy(dtype=np.uint64)
+    dls = pdf["dl"].to_numpy(dtype=np.uint64)
+
+    term_codes = pd.factorize(pdf["term"], sort=False)[0]
+    new_group = np.empty(n, dtype=bool)
+    new_group[0] = True
+    new_group[1:] = (term_codes[1:] != term_codes[:-1]) | (shards[1:] != shards[:-1])
+    gidx = np.cumsum(new_group) - 1
+    group_start = np.nonzero(new_group)[0]
+    within = np.arange(n) - group_start[gidx]
+    new_block = new_group | (within % block_size == 0)
+    bstart = np.nonzero(new_block)[0]
+    bend = np.append(bstart[1:], n)
+
+    u = docs.astype(np.uint64) ^ _SIGN
+    gaps = np.empty_like(u)
+    gaps[0] = u[0]
+    np.subtract(u[1:], u[:-1], out=gaps[1:])
+    gaps[bstart] = u[bstart]  # each block restarts its delta chain
+
+    g_bytes, g_len = varbyte_encode_with_lengths(gaps)
+    t_bytes, t_len = varbyte_encode_with_lengths(tfs)
+    d_bytes, d_len = varbyte_encode_with_lengths(dls)
+    g_off = np.concatenate(([0], np.cumsum(g_len)))
+    t_off = np.concatenate(([0], np.cumsum(t_len)))
+    d_off = np.concatenate(([0], np.cumsum(d_len)))
+
+    block_id = within[bstart] // block_size
+
+    payload = [
+        g_bytes[g_off[s] : g_off[e]] + t_bytes[t_off[s] : t_off[e]] + d_bytes[d_off[s] : d_off[e]]
+        for s, e in zip(bstart, bend)
+    ]
+    return pd.DataFrame(
+        {
+            "term": terms[bstart],
+            "shard": shards[bstart].astype(np.int32),
+            "block_id": block_id.astype(np.int32),
+            "first_doc": docs[bstart],
+            "last_doc": docs[bend - 1],
+            "n": (bend - bstart).astype(np.int32),
+            "max_tf": np.maximum.reduceat(tfs, bstart).astype(np.int32),
+            "min_dl": np.minimum.reduceat(dls, bstart).astype(np.int32),
+            "bytes": payload,
+        }
+    )
+
+
 def pack_postings(
     tf_dl: DataFrame, n_shards: int, block_size: int = BLOCK_SIZE_DEFAULT
 ) -> DataFrame:
     """(doc_id, term, tf, dl)[ + shard] -> compressed block rows.
 
-    One shuffle on (term, shard); the pack itself is a vectorized NumPy pass
-    per group (sort once, slice into blocks, vbyte-encode each slice).
+    Physical plan: ONE shuffle (repartition on the salted (term, shard) key)
+    + partition-local sort + a vectorized ``mapInPandas`` pass. Grouping via
+    repartition+sortWithinPartitions instead of groupBy().applyInPandas
+    avoids per-group Arrow/pandas overhead — with vocab-scale group counts
+    (millions of terms) per-group UDF dispatch dominates otherwise. Shuffle
+    partition sizing bounds the in-memory batch per task.
     """
     if "shard" not in tf_dl.columns:
         tf_dl = with_shard(tf_dl, n_shards)
 
-    def pack(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        term, shard = key
-        order = np.argsort(pdf["doc_id"].to_numpy(), kind="mergesort")
-        doc_ids = pdf["doc_id"].to_numpy()[order]
-        tfs = pdf["tf"].to_numpy()[order]
-        dls = pdf["dl"].to_numpy()[order]
-        n = len(doc_ids)
-        rows = []
-        for b, lo in enumerate(range(0, n, block_size)):
-            hi = min(lo + block_size, n)
-            d, t, l = doc_ids[lo:hi], tfs[lo:hi], dls[lo:hi]
-            rows.append(
-                (
-                    term,
-                    int(shard),
-                    b,
-                    int(d[0]),
-                    int(d[-1]),
-                    int(hi - lo),
-                    int(t.max()),
-                    int(l.min()),
-                    _encode_block(d, t, l),
-                )
-            )
-        return pd.DataFrame(
-            rows,
-            columns=[
-                "term", "shard", "block_id", "first_doc", "last_doc",
-                "n", "max_tf", "min_dl", "bytes",
-            ],
-        )
+    df = tf_dl.repartition("term", "shard").sortWithinPartitions(
+        "term", "shard", "doc_id"
+    )
 
-    return tf_dl.groupBy("term", "shard").applyInPandas(pack, schema=POSTINGS_SCHEMA)
+    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # buffer the (sorted) partition: Arrow batches may split groups
+        pdfs = [p for p in batches if len(p)]
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+        yield _pack_partition(pdf, block_size)
+
+    return df.mapInPandas(pack, schema=POSTINGS_SCHEMA)
 
 
 def unpack_postings(postings: DataFrame) -> DataFrame:
