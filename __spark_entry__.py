@@ -190,24 +190,35 @@ def q_geodesic_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return geodesic_rerank(cands, k=10, connect_k=10, edges=_knn_edges(spark, sf_dir, k=5))
 
 
-def q_ppr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PPR diffusion rerank (20 power iterations in a grouped NumPy kernel;
-    no SQL oracle — parity via tests/test_geo_parity.py)."""
-    from geometric_aware_retrieval_v2_spark.operators.rerank import (
-        cosine_topk,
-        ppr_rerank,
-    )
+def _cosine_candidates(spark: SparkSession, sf_dir: str, k: int = 50) -> DataFrame:
+    from geometric_aware_retrieval_v2_spark.operators.rerank import cosine_topk
 
     emb = _emb(spark, sf_dir)
     qvecs = _qvecs(spark, sf_dir)
-    hits = cosine_topk(emb, qvecs, k=50)
-    cands = (
+    hits = cosine_topk(emb, qvecs, k=k)
+    return (
         hits.select("qid", "doc_id")
         .join(emb.withColumnRenamed("vec_id", "doc_id"), "doc_id")
         .join(qvecs, "qid")
         .select("qid", "doc_id", "embedding", "qvec")
     )
-    return ppr_rerank(cands, k=50, adjacency="cosine")
+
+
+def q_ppr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPR diffusion rerank: 20 power iterations as batched NumPy in a
+    grouped pandas UDF; the DuckDB oracle unrolls the same 20 iterations as
+    chained CTEs (oracles.ppr_rerank_sql)."""
+    from geometric_aware_retrieval_v2_spark.operators.rerank import ppr_rerank
+
+    return ppr_rerank(_cosine_candidates(spark, sf_dir, k=50), k=50, adjacency="cosine")
+
+
+def q_heat_kernel_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heat-kernel diffusion distances over the candidate k-NN graph
+    (rows-only driver check; NumPy-oracle parity in tests)."""
+    from geometric_aware_retrieval_v2_spark.operators.rerank import heat_kernel_rerank
+
+    return heat_kernel_rerank(_cosine_candidates(spark, sf_dir, k=50), k=50)
 
 
 def q_bm25_geodesic(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -223,6 +234,111 @@ def q_bm25_geodesic(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=10,
         search_k=50,
     )
+
+
+# ----------------------------------------------------- dedup / simsearch ops
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geometric_aware_retrieval_v2_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_docs(spark, sf_dir))
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geometric_aware_retrieval_v2_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), w=3, threshold=0.5)
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geometric_aware_retrieval_v2_spark.operators.dedup import minhash_lsh_dedup
+
+    return minhash_lsh_dedup(
+        _docs(spark, sf_dir), w=3, n_hashes=16, band_rows=2, threshold=0.5
+    )
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geometric_aware_retrieval_v2_spark.operators.dedup import simhash
+
+    return simhash(tokenize_terms(_docs(spark, sf_dir)))
+
+
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geometric_aware_retrieval_v2_spark.operators.dedup import (
+        simhash,
+        simhash_neardup_pairs,
+    )
+
+    return simhash_neardup_pairs(
+        simhash(tokenize_terms(_docs(spark, sf_dir))), max_hamming=3, n_bands=4
+    )
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geometric_aware_retrieval_v2_spark.operators.dedup import (
+        embedding_neardup_pairs,
+    )
+
+    return embedding_neardup_pairs(_emb(spark, sf_dir), threshold=0.4)
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geometric_aware_retrieval_v2_spark.operators.simsearch import ivf_topk
+
+    return ivf_topk(
+        _emb(spark, sf_dir), _qvecs(spark, sf_dir), every=50, nprobe=2, k=10
+    )
+
+
+# ------------------------------------------------------------- text analysis
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geometric_aware_retrieval_v2_spark.operators.textstats import lang_id
+
+    return lang_id(_docs(spark, sf_dir))
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geometric_aware_retrieval_v2_spark.operators.textstats import quality_score
+
+    return quality_score(_docs(spark, sf_dir))
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geometric_aware_retrieval_v2_spark.operators.textstats import token_stats
+
+    return token_stats(_docs(spark, sf_dir))
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geometric_aware_retrieval_v2_spark.operators.textstats import doc_fingerprint
+
+    return doc_fingerprint(_docs(spark, sf_dir))
+
+
+# --------------------------------------------------------------- multimodal
+
+def q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geometric_aware_retrieval_v2_spark.operators.multimodal import (
+        extract_features,
+        synth_media,
+    )
+
+    media = synth_media(_docs(spark, sf_dir))
+    feats = extract_features(media)
+    return feats.join(media.select("media_id", F.col("meta.n_frames").alias("n_frames")), "media_id").select(
+        "media_id", "n_bytes", "first_byte", "n_frames"
+    )
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geometric_aware_retrieval_v2_spark.operators.multimodal import (
+        extract_features,
+        synth_media,
+    )
+
+    return extract_features(synth_media(_docs(spark, sf_dir)))
 
 
 # ------------------------------------------------------------- eval metrics
@@ -370,7 +486,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # operators whose semantics are not expressible as one DuckDB query (graph
 # iteration); the driver records a rows-only check and pytest enforces
 # NumPy-oracle parity instead (tests/test_geo_parity.py)
-NON_SQL = {"geodesic_rerank", "ppr_rerank", "bm25_geodesic"}
+NON_SQL = {"geodesic_rerank", "heat_kernel_rerank", "bm25_geodesic", "media_features"}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -391,7 +507,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_metrics": q_graph_metrics,
         "geodesic_rerank": q_geodesic_rerank,
         "ppr_rerank": q_ppr_rerank,
+        "heat_kernel_rerank": q_heat_kernel_rerank,
         "bm25_geodesic": q_bm25_geodesic,
+        # dedup / similarity search
+        "dedup_exact": q_dedup_exact,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash": q_simhash,
+        "simhash_neardup": q_simhash_neardup,
+        "embedding_neardup": q_embedding_neardup,
+        "ivf_topk": q_ivf_topk,
+        # text analysis
+        "lang_id": q_lang_id,
+        "quality_score": q_quality_score,
+        "token_stats": q_token_stats,
+        "doc_fingerprint": q_doc_fingerprint,
+        # multimodal
+        "media_stats": q_media_stats,
+        "media_features": q_media_features,
         # eval metrics
         "ndcg_recall": q_ndcg_recall,
         "rare": q_rare,
@@ -420,6 +553,19 @@ def oracle_sql() -> dict[str, str]:
         "cosine_topk": oracles.cosine_topk_sql(k=10),
         "curvature_mix_topk": oracles.curvature_mix_topk_sql(alpha=0.3, k=10),
         "graph_metrics": oracles.graph_metrics_sql(knn_k=5),
+        "ppr_rerank": oracles.ppr_rerank_sql(n_queries=10, topk=50),
+        "dedup_exact": oracles.dedup_exact_sql(),
+        "ngram_jaccard": oracles.ngram_jaccard_sql(threshold=0.5),
+        "minhash_lsh": oracles.minhash_lsh_sql(n_hashes=16, band_rows=2, threshold=0.5),
+        "simhash": oracles.simhash_sql(),
+        "simhash_neardup": oracles.simhash_neardup_sql(max_hamming=3, n_bands=4),
+        "embedding_neardup": oracles.embedding_neardup_sql(threshold=0.4),
+        "ivf_topk": oracles.ivf_topk_sql(every=50, nprobe=2, k=10),
+        "lang_id": oracles.lang_id_sql(),
+        "quality_score": oracles.quality_score_sql(),
+        "token_stats": oracles.token_stats_sql(),
+        "doc_fingerprint": oracles.doc_fingerprint_sql(),
+        "media_stats": oracles.media_stats_sql(),
         "ndcg_recall": oracles.ndcg_recall_sql(k=10),
         "rare": oracles.rare_sql(),
         "mock_judge": oracles.mock_judge_sql(),

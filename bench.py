@@ -48,7 +48,7 @@ def _sf_from_dir(sf_dir: str) -> float:
         return 0.1
 
 
-def run_bench(sf_dir: str, cpus: int) -> dict:
+def run_bench(sf_dir: str, cpus: int, n_files_override: int | None = None) -> dict:
     from pyspark.sql import functions as F
 
     from geometric_aware_retrieval_v2_spark.code_queryset import CODE_QUERY_SET
@@ -68,7 +68,7 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     from geometric_aware_retrieval_v2_spark.sources.tables import load_table
 
     sf = _sf_from_dir(sf_dir)
-    n_files = max(1000, int(FILES_PER_SF * sf))
+    n_files = n_files_override or max(1000, int(FILES_PER_SF * sf))
     spark = get_spark(app_name=f"bench-{cpus}", master=f"local[{cpus}]",
                       shuffle_partitions=max(cpus, 8))
 
@@ -87,7 +87,9 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     t0 = time.monotonic()
     build_index(
         spark, corpus, idx_dir,
-        n_partitions=2, n_shards=max(cpus // 2, 4), block_size=128,
+        # n_shards is FIXED so different-parallelism runs build the identical
+        # index (shard count is an index-layout property, not a cluster one)
+        n_partitions=2, n_shards=8, block_size=128,
         tokenizer_mode="code",
     )
     build_sec = time.monotonic() - t0
@@ -144,37 +146,55 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
 
 
 def run_scaling(sf_dir: str) -> None:
-    """local[8] vs local[32] on identical input -> BENCH/BASELINE.md."""
+    """N vs 4N cores on identical input -> BENCH/BASELINE.md.
+
+    Core pair via SPARK_GRAFT_SCALING_CORES="2,8" (default) and input size
+    via SPARK_GRAFT_SCALING_FILES (default 200000): the per-build fixed
+    overhead (~20-40 s of Spark job scheduling, Python worker spin-up and
+    manifest commits) must be amortized by real compute for the efficiency
+    number to measure the *pipeline* rather than the constant.
+    """
+    lo, hi = (
+        int(x) for x in os.environ.get("SPARK_GRAFT_SCALING_CORES", "2,8").split(",")
+    )
+    n_files = int(os.environ.get("SPARK_GRAFT_SCALING_FILES", "200000"))
     results = {}
-    for cpus in (8, 32):
-        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_SF_DIR=sf_dir)
+    for cpus in (lo, hi):
+        env = dict(
+            os.environ,
+            SPARK_GRAFT_CPUS=str(cpus),
+            SPARK_GRAFT_SF_DIR=sf_dir,
+            SPARK_GRAFT_BENCH_FILES=str(n_files),
+        )
         out = subprocess.run(
             [sys.executable, __file__], env=env, capture_output=True, text=True,
-            timeout=3600,
+            timeout=7200,
         )
         line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
         results[cpus] = json.loads(line)
-    tp8 = results[8]["files_per_sec"]
-    tp32 = results[32]["files_per_sec"]
-    eff_build = tp32 / (4 * tp8)
-    q8, q32 = results[8]["value"], results[32]["value"]
+    tp_lo = results[lo]["files_per_sec"]
+    tp_hi = results[hi]["files_per_sec"]
+    ratio = hi // lo
+    eff_build = tp_hi / (ratio * tp_lo)
+    q_lo, q_hi = results[lo]["value"], results[hi]["value"]
     os.makedirs(REPO / "BENCH", exist_ok=True)
     with open(REPO / "BENCH" / "BASELINE.md", "w") as f:
         f.write(
             "# BENCH — measured baselines\n\n"
             f"Input: deterministic synthetic source-code corpus, "
-            f"{results[8]['n_files']} files (sf={results[8]['sf']}), identical at both levels.\n\n"
+            f"{results[lo]['n_files']} files, identical at both parallelism levels\n"
+            f"(same seed, same row count, same index layout: n_shards=8, blocks=128).\n\n"
             "| parallelism | build files/sec | build sec | WAND query p50 (s) |\n"
             "|---|---|---|---|\n"
-            f"| local[8] | {tp8} | {results[8]['build_sec']} | {q8} |\n"
-            f"| local[32] | {tp32} | {results[32]['build_sec']} | {q32} |\n\n"
-            f"**Index-build scaling efficiency (N -> 4N cores)** = "
-            f"throughput(32) / (4 x throughput(8)) = **{eff_build:.3f}**\n\n"
-            f"Query p50 speedup 8->32: {q8 / q32:.2f}x\n\n"
+            f"| local[{lo}] | {tp_lo} | {results[lo]['build_sec']} | {q_lo} |\n"
+            f"| local[{hi}] | {tp_hi} | {results[hi]['build_sec']} | {q_hi} |\n\n"
+            f"**Index-build scaling efficiency (N={lo} -> {ratio}N={hi} cores)** = "
+            f"throughput({hi}) / ({ratio} x throughput({lo})) = **{eff_build:.3f}**\n\n"
+            f"Query p50 speedup {lo}->{hi}: {q_lo / q_hi:.2f}x\n\n"
             f"Raw: {json.dumps(results)}\n"
         )
     print(json.dumps({"scaling_efficiency_build": round(eff_build, 3),
-                      "tp8": tp8, "tp32": tp32}))
+                      f"tp{lo}": tp_lo, f"tp{hi}": tp_hi}))
 
 
 if __name__ == "__main__":
@@ -183,4 +203,5 @@ if __name__ == "__main__":
         run_scaling(sf_dir)
     else:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-        print(json.dumps(run_bench(sf_dir, cpus)))
+        n_override = os.environ.get("SPARK_GRAFT_BENCH_FILES")
+        print(json.dumps(run_bench(sf_dir, cpus, int(n_override) if n_override else None)))

@@ -80,12 +80,12 @@ def tokenize_terms_arrow(
             out = flat.groupby(["doc_id", "term"], sort=False).size().reset_index(name="tf")
             yield out
 
-    local = docs.select("doc_id", content_col).mapInPandas(
+    # a document's content is ONE input row, so batch-local (doc_id, term)
+    # counts are already final — no shuffle, no second aggregate: this is a
+    # purely narrow operator
+    return docs.select("doc_id", content_col).mapInPandas(
         run, schema="doc_id long, term string, tf long"
     )
-    # batch-local counts are already combined; a final aggregate merges across
-    # batches/partitions (cheap: cardinality is already per-doc-distinct-term)
-    return local.groupBy("doc_id", "term").agg(F.sum("tf").alias("tf"))
 
 
 def doc_stats(docs: DataFrame, content_col: str = "content", mode: str = "ws") -> DataFrame:

@@ -43,7 +43,9 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from geometric_aware_retrieval_v2_spark.functions.tokenizer import doc_stats, tokenize_terms
+from geometric_aware_retrieval_v2_spark.functions.tokenizer import (
+    tokenize_terms_arrow,
+)
 from geometric_aware_retrieval_v2_spark.operators.bm25 import (
     B_DEFAULT,
     K1_DEFAULT,
@@ -107,13 +109,31 @@ def build_index(
             continue
         t0 = time.monotonic()
         part = docs.filter(F.col("bp") == p).drop("bp")
-        fp_row = part.agg(
+        # tokenize ONCE (narrow Arrow pass), store the tf projection; doc_len
+        # falls out of it — content is never re-scanned by a regex again
+        tf_path = f"{index_dir}/tf/part={p}"
+        tokenize_terms_arrow(part, mode=tokenizer_mode).write.mode("overwrite").parquet(tf_path)
+        tf_stored = spark.read.parquet(tf_path)
+        dl = tf_stored.groupBy("doc_id").agg(F.sum("tf").alias("doc_len"))
+        out = f"{index_dir}/docstats/part={p}"
+        (
+            part.select("doc_id", F.sha2("content", 256).alias("content_sha256"))
+            .join(dl, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("doc_len", F.lit(0)).alias("doc_len"),
+                "content_sha256",
+            )
+            .write.mode("overwrite")
+            .parquet(out)
+        )
+        # input fingerprint from the just-written docstats (content_sha256 is
+        # already per-row) — no second scan of the raw content
+        fp_row = spark.read.parquet(out).agg(
             # decimal(38,0) accumulation: overflow-free under ANSI mode
-            F.sum(F.xxhash64("doc_id", "content").cast("decimal(38,0)")).alias("fp"),
+            F.sum(F.xxhash64("doc_id", "content_sha256").cast("decimal(38,0)")).alias("fp"),
             F.count(F.lit(1)).alias("rows"),
         ).collect()[0]
-        out = f"{index_dir}/docstats/part={p}"
-        doc_stats(part, mode=tokenizer_mode).write.mode("overwrite").parquet(out)
         mf.append_manifest(
             spark,
             index_dir,
@@ -138,8 +158,7 @@ def build_index(
             index_dir,
             [
                 mf.manifest_row(
-                    run_id, "docmap", -1, "all-docstats",
-                    spark.read.parquet(f"{index_dir}/docmap").count(), 0,
+                    run_id, "docmap", -1, "all-docstats", 0, 0,
                     int((time.monotonic() - t0) * 1000), f"{index_dir}/docmap",
                 )
             ],
@@ -151,12 +170,14 @@ def build_index(
         if p in done:
             continue
         t0 = time.monotonic()
-        part = docs.filter(F.col("bp") == p).drop("bp")
-        tf = tokenize_terms(part, mode=tokenizer_mode)
+        tf = spark.read.parquet(f"{index_dir}/tf/part={p}")
         # postings are keyed by dense ordinal from here on; shard is a pure
-        # function of the ordinal so partial top-k per shard stays exact
+        # function of the ordinal so partial top-k per shard stays exact.
+        # docmap is broadcast (it is |docs| rows of 3 ints — small relative
+        # to the tf fan-out; at extreme scale this becomes a sort-merge join
+        # on doc_id, still one shuffle)
         tf_ord = (
-            tf.join(dl_by_ord, "doc_id")
+            tf.join(F.broadcast(dl_by_ord), "doc_id")
             .select(
                 F.col("ord").alias("doc_id"),
                 "term",
@@ -203,7 +224,7 @@ def build_index(
             index_dir,
             [
                 mf.manifest_row(
-                    run_id, "merge", -1, "all-segments", postings.count(), 0,
+                    run_id, "merge", -1, "all-segments", 0, 0,
                     int((time.monotonic() - t0) * 1000), f"{index_dir}/postings",
                 )
             ],

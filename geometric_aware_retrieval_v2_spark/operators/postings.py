@@ -80,21 +80,31 @@ def with_shard(tf_dl: DataFrame, n_shards: int) -> DataFrame:
 
 def _pack_partition(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
     """Vectorized whole-partition block packer. ``pdf`` holds complete
-    (term, shard) groups sorted by (term, shard, doc_id). One varbyte pass
-    per stream for ALL blocks; per-block stats via ufunc.reduceat — no
+    (term, shard) groups in any order; the partition is lexsorted HERE in
+    NumPy (factorized term codes) — ~10x cheaper than a JVM
+    sortWithinPartitions over unsafe-row strings. One varbyte pass per
+    stream for ALL blocks; per-block stats via ufunc.reduceat — no
     per-group pandas objects, no per-block Python beyond byte slicing."""
     from geometric_aware_retrieval_v2_spark.functions.varbyte import (
         varbyte_encode_with_lengths,
     )
 
     n = len(pdf)
-    terms = pdf["term"].to_numpy()
-    shards = pdf["shard"].to_numpy()
-    docs = pdf["doc_id"].to_numpy(dtype=np.int64)
-    tfs = pdf["tf"].to_numpy(dtype=np.uint64)
-    dls = pdf["dl"].to_numpy(dtype=np.uint64)
+    term_codes0 = pd.factorize(pdf["term"], sort=False)[0]
+    order = np.lexsort(
+        (
+            pdf["doc_id"].to_numpy(dtype=np.int64),
+            pdf["shard"].to_numpy(),
+            term_codes0,
+        )
+    )
+    terms = pdf["term"].to_numpy()[order]
+    shards = pdf["shard"].to_numpy()[order]
+    docs = pdf["doc_id"].to_numpy(dtype=np.int64)[order]
+    tfs = pdf["tf"].to_numpy(dtype=np.uint64)[order]
+    dls = pdf["dl"].to_numpy(dtype=np.uint64)[order]
+    term_codes = term_codes0[order]
 
-    term_codes = pd.factorize(pdf["term"], sort=False)[0]
     new_group = np.empty(n, dtype=bool)
     new_group[0] = True
     new_group[1:] = (term_codes[1:] != term_codes[:-1]) | (shards[1:] != shards[:-1])
@@ -154,12 +164,11 @@ def pack_postings(
     if "shard" not in tf_dl.columns:
         tf_dl = with_shard(tf_dl, n_shards)
 
-    df = tf_dl.repartition("term", "shard").sortWithinPartitions(
-        "term", "shard", "doc_id"
-    )
+    # ONE shuffle, NO JVM sort: the kernel lexsorts in NumPy
+    df = tf_dl.repartition("term", "shard")
 
     def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # buffer the (sorted) partition: Arrow batches may split groups
+        # buffer the partition: groups must be complete before packing
         pdfs = [p for p in batches if len(p)]
         if not pdfs:
             return
@@ -178,34 +187,24 @@ def unpack_postings(postings: DataFrame) -> DataFrame:
 
     def unpack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            outs = []
-            for term, shard, n, buf in zip(
-                pdf["term"], pdf["shard"], pdf["n"], pdf["bytes"]
-            ):
+            if not len(pdf):
+                continue
+            ns = pdf["n"].to_numpy(dtype=np.int64)
+            ds, ts, ls = [], [], []
+            for n, buf in zip(ns, pdf["bytes"]):
                 d, t, l = decode_block(buf, int(n))
-                outs.append(
-                    pd.DataFrame(
-                        {
-                            "term": term,
-                            "shard": int(shard),
-                            "doc_id": d,
-                            "tf": t.astype(np.int64),
-                            "dl": l.astype(np.int64),
-                        }
-                    )
-                )
-            yield (
-                pd.concat(outs, ignore_index=True)
-                if outs
-                else pd.DataFrame(
-                    {
-                        "term": pd.Series(dtype=object),
-                        "shard": pd.Series(dtype="int32"),
-                        "doc_id": pd.Series(dtype="int64"),
-                        "tf": pd.Series(dtype="int64"),
-                        "dl": pd.Series(dtype="int64"),
-                    }
-                )
+                ds.append(d)
+                ts.append(t)
+                ls.append(l)
+            # ONE output frame per Arrow batch (not per block)
+            yield pd.DataFrame(
+                {
+                    "term": np.repeat(pdf["term"].to_numpy(), ns),
+                    "shard": np.repeat(pdf["shard"].to_numpy(), ns).astype(np.int32),
+                    "doc_id": np.concatenate(ds),
+                    "tf": np.concatenate(ts).astype(np.int64),
+                    "dl": np.concatenate(ls).astype(np.int64),
+                }
             )
 
     return postings.select("term", "shard", "n", "bytes").mapInPandas(

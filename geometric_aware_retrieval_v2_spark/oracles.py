@@ -262,6 +262,345 @@ def ndcg_recall_sql(k: int = 10, n_queries: int = 10, run_k: int = 50) -> str:
     """
 
 
+def ppr_rerank_sql(
+    n_queries: int = 10,
+    topk: int = 50,
+    alpha: float = 0.2,
+    iters: int = 20,
+) -> str:
+    """Personalized-PageRank rerank oracle: the 20 power iterations are
+    UNROLLED as chained CTEs (p0..p20) — recursive CTEs cannot aggregate in
+    DuckDB 1.0, but a fixed iteration count needs no recursion. Mirrors the
+    engine kernel exactly: A = clip(cos,0) with zero diagonal over the
+    cosine top-k candidates, prior = clamp(sims,1e-6)/sum,
+    p <- (1-alpha)*prior + alpha * A_norm^T p."""
+    steps = []
+    for it in range(1, iters + 1):
+        steps.append(
+            f"""p{it} AS MATERIALIZED (
+      SELECT pr.qid, pr.doc_id,
+             {1 - alpha} * pr.pr + {alpha} * coalesce(m.v, 0.0) AS p
+      FROM prior pr LEFT JOIN (
+        SELECT an.qid, an.j AS doc_id, sum(an.a * pk.p) AS v
+        FROM anorm an JOIN p{it - 1} pk ON pk.qid = an.qid AND pk.doc_id = an.i
+        GROUP BY an.qid, an.j
+      ) m ON m.qid = pr.qid AND m.doc_id = pr.doc_id
+    )"""
+        )
+    chain = ",\n    ".join(steps)
+    return f"""
+    WITH q AS (SELECT vec_id AS qid, v AS qv FROM ({EMB}) WHERE vec_id < {n_queries}),
+    cand AS (
+      SELECT qid, doc_id FROM (
+        SELECT q.qid, e.vec_id AS doc_id,
+               row_number() OVER (
+                 PARTITION BY q.qid
+                 ORDER BY round(list_cosine_similarity(e.v, q.qv), 9) DESC, e.vec_id DESC
+               ) AS rn
+        FROM ({EMB}) e CROSS JOIN q
+      ) WHERE rn <= {topk}
+    ),
+    sims AS (
+      SELECT c.qid, c.doc_id, list_cosine_similarity(e.v, q.qv) AS s
+      FROM cand c JOIN ({EMB}) e ON e.vec_id = c.doc_id JOIN q ON q.qid = c.qid
+    ),
+    prior AS MATERIALIZED (
+      SELECT qid, doc_id,
+             greatest(s, 1e-6) / sum(greatest(s, 1e-6)) OVER (PARTITION BY qid) AS pr
+      FROM sims
+    ),
+    adj AS (
+      SELECT a.qid, a.doc_id AS i, b.doc_id AS j,
+             greatest(list_cosine_similarity(ea.v, eb.v), 0.0) AS w
+      FROM cand a
+      JOIN cand b ON a.qid = b.qid AND a.doc_id <> b.doc_id
+      JOIN ({EMB}) ea ON ea.vec_id = a.doc_id
+      JOIN ({EMB}) eb ON eb.vec_id = b.doc_id
+    ),
+    anorm AS MATERIALIZED (
+      SELECT qid, i, j, w / (sum(w) OVER (PARTITION BY qid, i) + 1e-12) AS a
+      FROM adj
+    ),
+    p0 AS MATERIALIZED (SELECT qid, doc_id, pr AS p FROM prior),
+    {chain}
+    SELECT qid, doc_id, round(p, 9) AS ppr,
+           row_number() OVER (PARTITION BY qid ORDER BY round(p, 9) DESC, doc_id ASC) AS rank
+    FROM p{iters}
+    """
+
+
+# ------------------------------------------------------ dedup / simsearch
+
+SHINGLES = """
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(0, len(t)-3),
+                  i -> concat_ws(' ', t[i+1], t[i+2], t[i+3]))) AS shingle
+    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+    WHERE len(t) >= 3
+  )
+"""
+
+_J_VERIFY = """
+  SELECT p.doc_a, p.doc_b,
+         round(p.n_common::DOUBLE / (sa.n_sh + sb.n_sh - p.n_common), 6) AS jaccard
+  FROM ({pairs_counted}) p
+  JOIN (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id) sa ON p.doc_a = sa.doc_id
+  JOIN (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id) sb ON p.doc_b = sb.doc_id
+"""
+
+
+def dedup_exact_sql() -> str:
+    return """
+    SELECT sha256(text) AS content_sha256, count(*) AS n_dups, min(doc_id) AS rep_doc_id
+    FROM documents GROUP BY 1 HAVING count(*) >= 2
+    """
+
+
+def ngram_jaccard_sql(threshold: float = 0.5) -> str:
+    pairs_counted = """
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    """
+    return (
+        f"WITH sh AS ({SHINGLES}) "
+        f"SELECT doc_a, doc_b, jaccard FROM ({_J_VERIFY.format(pairs_counted=pairs_counted)})"
+        f" WHERE jaccard >= {threshold}"
+    )
+
+
+def minhash_lsh_sql(n_hashes: int = 16, band_rows: int = 2, threshold: float = 0.5) -> str:
+    mins = ", ".join(
+        f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(n_hashes)
+    )
+    n_bands = n_hashes // band_rows
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5({cols}) AS bucket FROM sigs".format(
+            b=b,
+            cols=" || '|' || ".join(
+                f"h{b * band_rows + r}" for r in range(band_rows)
+            ),
+        )
+        for b in range(n_bands)
+    )
+    pairs_counted = """
+      SELECT cp.doc_a, cp.doc_b, count(*) AS n_common
+      FROM cand_pairs cp
+      JOIN sh a ON a.doc_id = cp.doc_a
+      JOIN sh b ON b.doc_id = cp.doc_b AND b.shingle = a.shingle
+      GROUP BY 1, 2
+    """
+    return f"""
+    WITH sh AS ({SHINGLES}),
+    sigs AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+    bands AS ({band_selects}),
+    cand_pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, jaccard FROM ({_J_VERIFY.format(pairs_counted=pairs_counted)})
+    WHERE jaccard >= {threshold}
+    """
+
+
+SIMHASH = """
+  SELECT doc_id,
+         sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0::BIGINT END)::BIGINT AS simhash
+  FROM (
+    SELECT doc_id, j, sum((((h >> j) & 1) * 2 - 1) * tf) AS s
+    FROM (
+      SELECT doc_id, term, count(*) AS tf,
+             ('0x' || substr(md5(term), 1, 15))::BIGINT AS h
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+      GROUP BY doc_id, term
+    ) CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS j)
+    GROUP BY doc_id, j
+  ) GROUP BY doc_id
+"""
+
+
+def simhash_sql() -> str:
+    return SIMHASH
+
+
+def simhash_neardup_sql(max_hamming: int = 3, n_bands: int = 4) -> str:
+    width = 60 // n_bands
+    mask = (1 << width) - 1
+    band_exprs = ", ".join(
+        f"[{b}::BIGINT, (simhash >> {b * width}) & {mask}]" for b in range(n_bands)
+    )
+    return f"""
+    WITH sim AS ({SIMHASH}),
+    bands AS (
+      SELECT doc_id, simhash, bk[1] AS band, bk[2] AS key FROM (
+        SELECT doc_id, simhash, unnest([{band_exprs}]) AS bk FROM sim
+      )
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.simhash AS sh_a, b.simhash AS sh_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, bit_count(xor(sh_a, sh_b))::BIGINT AS hamming
+    FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= {max_hamming}
+    """
+
+
+def embedding_neardup_sql(threshold: float = 0.4) -> str:
+    return f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.v, b.v), 6) AS cos
+    FROM ({EMB}) a JOIN ({EMB}) b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.v, b.v), 6) >= {threshold}
+    """
+
+
+def ivf_topk_sql(every: int = 50, nprobe: int = 2, k: int = 10, n_queries: int = 10) -> str:
+    return f"""
+    WITH cents AS (
+      SELECT (vec_id / {every})::BIGINT AS cell, v AS cvec
+      FROM ({EMB}) WHERE vec_id % {every} = 0
+    ),
+    assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT e.vec_id, c.cell,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY round(list_cosine_similarity(e.v, c.cvec), 9) DESC, c.cell ASC
+               ) AS rn
+        FROM ({EMB}) e CROSS JOIN cents c
+      ) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS qid, v AS qv FROM ({EMB}) WHERE vec_id < {n_queries}),
+    qcells AS (
+      SELECT qid, cell FROM (
+        SELECT q.qid, c.cell,
+               row_number() OVER (
+                 PARTITION BY q.qid
+                 ORDER BY round(list_cosine_similarity(q.qv, c.cvec), 9) DESC, c.cell ASC
+               ) AS rn
+        FROM q CROSS JOIN cents c
+      ) WHERE rn <= {nprobe}
+    ),
+    scored AS (
+      SELECT qc.qid, a.vec_id AS doc_id, list_cosine_similarity(e.v, q.qv) AS cos
+      FROM qcells qc
+      JOIN assign a ON a.cell = qc.cell
+      JOIN ({EMB}) e ON e.vec_id = a.vec_id
+      JOIN q ON q.qid = qc.qid
+    )
+    SELECT qid, doc_id, round(cos, 6) AS sim, rank FROM (
+      SELECT qid, doc_id, cos,
+             row_number() OVER (
+               PARTITION BY qid ORDER BY round(cos, 9) DESC, doc_id ASC
+             ) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+# ------------------------------------------------------------ text analysis
+
+_LEX = {
+    "en": ["the", "a", "and", "of", "is"],
+    "es": ["el", "la", "de", "que", "y"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "de": ["der", "die", "und", "das", "ist"],
+}
+
+
+def lang_id_sql() -> str:
+    counts = ", ".join(
+        "len(list_filter(toks, x -> x IN ({lst}))) AS c_{lang}".format(
+            lst=", ".join(f"'{w}'" for w in _LEX[lang]), lang=lang
+        )
+        for lang in sorted(_LEX)
+    )
+    langs = sorted(_LEX)
+    best = "greatest(" + ", ".join(f"c_{lang}" for lang in langs) + ")"
+    pred = "CASE WHEN {best} <= 0 THEN 'und' ".format(best=best)
+    for lang in langs:
+        pred += f"WHEN c_{lang} = {best} THEN '{lang}' "
+    pred += "END"
+    return f"""
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+      FROM documents
+    ),
+    c AS (SELECT doc_id, {counts} FROM t)
+    SELECT doc_id, {pred} AS lang_pred, {best}::BIGINT AS lang_hits FROM c
+    """
+
+
+def quality_score_sql() -> str:
+    stops = sorted({w for ws in _LEX.values() for w in ws})
+    lst = ", ".join(f"'{w}'" for w in stops)
+    return f"""
+    WITH t AS (
+      SELECT doc_id, text,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             len(toks) AS n,
+             len(list_filter(toks, x -> x IN ({lst})))::DOUBLE / greatest(1, len(toks)) AS stop_ratio,
+             (length(text) - (len(toks) - 1))::DOUBLE / greatest(1, len(toks)) AS mean_len
+      FROM t
+    )
+    SELECT doc_id, n::BIGINT AS n_tokens,
+           round(stop_ratio, 6) AS stopword_ratio,
+           round(mean_len, 6) AS mean_token_len,
+           round((least(1.0, n / 100.0)
+                  + (1.0 - least(1.0, stop_ratio * 5))
+                  + (CASE WHEN mean_len >= 3 AND mean_len <= 12 THEN 1.0 ELSE 0.5 END)) / 3,
+                 6) AS quality
+    FROM m
+    """
+
+
+def token_stats_sql() -> str:
+    return """
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+      FROM documents
+    )
+    SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+           len(list_distinct(toks))::BIGINT AS n_distinct,
+           round(len(list_distinct(toks))::DOUBLE / greatest(1, len(toks)), 6) AS type_token_ratio
+    FROM t
+    """
+
+
+def doc_fingerprint_sql() -> str:
+    return """
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(0::BIGINT,
+               list_transform(toks, x -> ('0x' || substr(md5(x), 1, 7))::BIGINT % 2147483647)),
+             (acc, x) -> (acc * 131 + x) % 2147483647
+           ) AS fingerprint
+    FROM t
+    """
+
+
+def media_stats_sql() -> str:
+    return """
+    SELECT doc_id AS media_id,
+           octet_length(encode(text))::BIGINT AS n_bytes,
+           ascii(substr(text, 1, 1)) AS first_byte,
+           (floor(length(text) / 256) + 1)::INT AS n_frames
+    FROM documents
+    """
+
+
 # ------------------------------------------------------------- eval metrics
 
 JUDGE_CASES = """
