@@ -170,9 +170,9 @@ def q_ndcg_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_geodesic_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Strategy C over the induced global k-NN graph (no SQL oracle —
-    Dijkstra is not expressible in one DuckDB query; parity is enforced by
-    tests/test_geo_parity.py against the NumPy oracle)."""
+    """Strategy C over the induced global k-NN graph. Oracle: unrolled
+    Bellman-Ford CTEs (oracles.geodesic_rerank_sql); plus NumPy-oracle
+    parity in tests/test_geo_parity.py."""
     from geometric_aware_retrieval_v2_spark.operators.rerank import (
         cosine_topk,
         geodesic_rerank,
@@ -486,7 +486,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # operators whose semantics are not expressible as one DuckDB query (graph
 # iteration); the driver records a rows-only check and pytest enforces
 # NumPy-oracle parity instead (tests/test_geo_parity.py)
-NON_SQL = {"geodesic_rerank", "heat_kernel_rerank", "bm25_geodesic", "media_features"}
+NON_SQL = {"heat_kernel_rerank", "bm25_geodesic", "media_features"}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -554,6 +554,9 @@ def oracle_sql() -> dict[str, str]:
         "curvature_mix_topk": oracles.curvature_mix_topk_sql(alpha=0.3, k=10),
         "graph_metrics": oracles.graph_metrics_sql(knn_k=5),
         "ppr_rerank": oracles.ppr_rerank_sql(n_queries=10, topk=50),
+        "geodesic_rerank": oracles.geodesic_rerank_sql(
+            n_queries=10, search_k=50, connect_k=10, knn_k=5, k=10
+        ),
         "dedup_exact": oracles.dedup_exact_sql(),
         "ngram_jaccard": oracles.ngram_jaccard_sql(threshold=0.5),
         "minhash_lsh": oracles.minhash_lsh_sql(n_hashes=16, band_rows=2, threshold=0.5),

@@ -217,5 +217,14 @@ def merge_segments(
 ) -> DataFrame:
     """Distributed segment merge (SURVEY.md B6): union of per-build-partition
     segment block rows -> decode -> re-pack into consolidated, doc-sorted,
-    non-overlapping blocks per (term, shard). One shuffle."""
-    return pack_postings(unpack_postings(segments), n_shards=n_shards, block_size=block_size)
+    non-overlapping blocks per (term, shard).
+
+    Block rows are compressed (~25 bytes/posting payload), so a parquet scan
+    of them often collapses to ONE input split under maxPartitionBytes —
+    which would serialize the whole decode. Explicitly re-spread the block
+    rows across the cluster before unpacking; the pack's own
+    repartition(term, shard) then restores grouping."""
+    spark = segments.sparkSession
+    n_tasks = max(spark.sparkContext.defaultParallelism, 8)
+    spread = segments.repartition(n_tasks)
+    return pack_postings(unpack_postings(spread), n_shards=n_shards, block_size=block_size)

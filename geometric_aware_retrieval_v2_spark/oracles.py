@@ -329,6 +329,74 @@ def ppr_rerank_sql(
     """
 
 
+def geodesic_rerank_sql(
+    n_queries: int = 10,
+    search_k: int = 50,
+    connect_k: int = 10,
+    knn_k: int = 5,
+    k: int = 10,
+    rounds: int | None = None,
+) -> str:
+    """Strategy-C geodesic oracle: single-source shortest paths as UNROLLED
+    Bellman-Ford rounds (materialized CTEs d0..dR). Exactness: BF's
+    d(v) = d(u) + w relaxation uses the same left-to-right float association
+    as Dijkstra along the winning path, so distances match bit-for-bit; R =
+    search_k - 1 rounds guarantees convergence (a shortest path over m nodes
+    has < m hops)."""
+    rounds = rounds if rounds is not None else search_k - 1
+    steps = []
+    for r in range(1, rounds + 1):
+        steps.append(
+            f"""d{r} AS MATERIALIZED (
+      SELECT qid, node, min(d) AS d FROM (
+        SELECT qid, node, d FROM d{r - 1}
+        UNION ALL
+        SELECT e.qid, e.dst AS node, dr.d + e.weight AS d
+        FROM d{r - 1} dr JOIN bidir e ON e.qid = dr.qid AND e.src = dr.node
+      ) GROUP BY qid, node
+    )"""
+        )
+    chain = ",\n    ".join(steps)
+    return f"""
+    WITH q AS (SELECT vec_id AS qid, v AS qv FROM ({EMB}) WHERE vec_id < {n_queries}),
+    cand AS MATERIALIZED (
+      SELECT qid, doc_id, cos FROM (
+        SELECT q.qid, e.vec_id AS doc_id, list_cosine_similarity(e.v, q.qv) AS cos,
+               row_number() OVER (
+                 PARTITION BY q.qid
+                 ORDER BY round(list_cosine_similarity(e.v, q.qv), 9) DESC, e.vec_id DESC
+               ) AS rn
+        FROM ({EMB}) e CROSS JOIN q
+      ) WHERE rn <= {search_k}
+    ),
+    g AS MATERIALIZED ({knn_edges_sql(knn_k)}),
+    induced AS (
+      SELECT a.qid, g.src, g.dst, g.weight
+      FROM g
+      JOIN cand a ON a.doc_id = g.src
+      JOIN cand b ON b.qid = a.qid AND b.doc_id = g.dst
+    ),
+    bidir AS MATERIALIZED (
+      SELECT qid, src, dst, weight FROM induced
+      UNION ALL
+      SELECT qid, dst AS src, src AS dst, weight FROM induced
+    ),
+    d0 AS MATERIALIZED (
+      SELECT qid, doc_id AS node, 1.0 - cos AS d FROM (
+        SELECT qid, doc_id, cos,
+               row_number() OVER (PARTITION BY qid ORDER BY cos DESC, doc_id DESC) AS rn
+        FROM cand
+      ) WHERE rn <= {connect_k}
+    ),
+    {chain}
+    SELECT qid, doc_id, geo_dist, rank FROM (
+      SELECT qid, node AS doc_id, round(d, 6) AS geo_dist,
+             row_number() OVER (PARTITION BY qid ORDER BY round(d, 6) ASC, node ASC) AS rank
+      FROM d{rounds}
+    ) WHERE rank <= {k}
+    """
+
+
 # ------------------------------------------------------ dedup / simsearch
 
 SHINGLES = """

@@ -44,6 +44,9 @@ def get_spark(
         # content rows can be ~4KB; keep Arrow batches bounded for tokenizer UDFs
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.session.timeZone", "UTC")
+        # engine tables (posting blocks, tf triples) compress heavily; the
+        # default 128MB split would collapse their scans to 1-2 tasks
+        .config("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
