@@ -374,6 +374,32 @@ def q_mock_judge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mock_judge(_judge_cases(spark, sf_dir))
 
 
+def q_judge_policies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geometric_aware_retrieval_v2_spark.operators.evalops import (
+        aggregate_policy,
+        mock_judge,
+    )
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    scores = None
+    for j in range(3):
+        extra = (
+            F.when((F.col("doc_id") + j) % 3 == 0, F.lit("fact evidence"))
+            .when((F.col("doc_id") + j) % 3 == 1, F.lit("reason citation"))
+            .otherwise(F.lit("citation"))
+        )
+        cases = d.select(
+            F.col("doc_id").alias("case_id"), F.array(F.col("text"), extra).alias("docs")
+        )
+        s = mock_judge(cases).withColumnRenamed("judge_score", "score")
+        scores = s if scores is None else scores.union(s)
+    out = None
+    for policy in ("mean", "majority", "max", "min"):
+        a = aggregate_policy(scores, policy).withColumn("policy", F.lit(policy))
+        out = a if out is None else out.union(a)
+    return out.select("case_id", "policy", "agg_score")
+
+
 def q_sud(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geometric_aware_retrieval_v2_spark.operators.evalops import sud
 
@@ -529,6 +555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ndcg_recall": q_ndcg_recall,
         "rare": q_rare,
         "mock_judge": q_mock_judge,
+        "judge_policies": q_judge_policies,
         "sud": q_sud,
         "nms": q_nms,
         "core": q_core,
@@ -572,6 +599,7 @@ def oracle_sql() -> dict[str, str]:
         "ndcg_recall": oracles.ndcg_recall_sql(k=10),
         "rare": oracles.rare_sql(),
         "mock_judge": oracles.mock_judge_sql(),
+        "judge_policies": oracles.judge_policies_sql(),
         "sud": oracles.sud_sql(),
         "nms": oracles.nms_sql(),
         "core": oracles.core_sql(),

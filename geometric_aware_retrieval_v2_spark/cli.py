@@ -1,0 +1,97 @@
+"""spark-submit job entry points (reference CLI parity: encode/search/audit/
+eval at /root/reference/geoIR/cli.py:21-154, re-expressed as cluster jobs).
+
+Usage (local or on a cluster):
+    spark-submit --py-files gar2.zip -m geometric_aware_retrieval_v2_spark.cli \\
+        build-index --input /path/corpus.parquet --index /path/index
+    ... search --index /path/index --query "hash join" --k 10 [--rerank geodesic]
+    ... audit  --index-embeddings /path/emb.parquet --k 5
+    ... eval   --run run.parquet --qrels qrels.parquet --k 10
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    from pyspark.sql import functions as F
+
+    from geometric_aware_retrieval_v2_spark.session import get_spark
+
+    p = argparse.ArgumentParser(prog="gar2-spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build-index")
+    b.add_argument("--input", required=True, help="parquet with (doc_id, content)")
+    b.add_argument("--index", required=True)
+    b.add_argument("--partitions", type=int, default=8)
+    b.add_argument("--shards", type=int, default=8)
+    b.add_argument("--tokenizer", default="code", choices=["ws", "code"])
+
+    s = sub.add_parser("search")
+    s.add_argument("--index", required=True)
+    s.add_argument("--query", required=True)
+    s.add_argument("--k", type=int, default=10)
+    s.add_argument("--method", default="wand", choices=["wand", "exhaustive"])
+
+    a = sub.add_parser("audit")
+    a.add_argument("--embeddings", required=True, help="parquet (vec_id, embedding)")
+    a.add_argument("--k", type=int, default=5)
+
+    e = sub.add_parser("eval")
+    e.add_argument("--run", required=True, help="parquet (qid, doc_id, score)")
+    e.add_argument("--qrels", required=True, help="parquet (qid, doc_id, rel)")
+    e.add_argument("--k", type=int, default=10)
+
+    args = p.parse_args(argv)
+    spark = get_spark(app_name=f"gar2-{args.cmd}")
+
+    if args.cmd == "build-index":
+        from geometric_aware_retrieval_v2_spark.operators.index import build_index
+
+        meta = build_index(
+            spark,
+            spark.read.parquet(args.input),
+            args.index,
+            n_partitions=args.partitions,
+            n_shards=args.shards,
+            tokenizer_mode=args.tokenizer,
+        )
+        print(json.dumps(meta.__dict__))
+    elif args.cmd == "search":
+        from geometric_aware_retrieval_v2_spark.operators.index import bm25_topk_indexed
+
+        q = spark.createDataFrame([(0, args.query)], schema="qid long, text string")
+        rows = bm25_topk_indexed(spark, args.index, q, k=args.k, method=args.method).collect()
+        print(json.dumps([{"doc_id": r.doc_id, "score": r.score, "rank": r.rank} for r in rows]))
+    elif args.cmd == "audit":
+        from geometric_aware_retrieval_v2_spark.operators.curvature import (
+            forman_curvature,
+            node_avg_curvature,
+        )
+        from geometric_aware_retrieval_v2_spark.operators.knn import knn_edges
+
+        edges = knn_edges(spark.read.parquet(args.embeddings), k=args.k)
+        curv = forman_curvature(edges, rounded=False)
+        summary = node_avg_curvature(curv).agg(
+            F.round(F.avg("avg_kappa"), 6).alias("mean_kappa"),
+            F.round(F.min("avg_kappa"), 6).alias("min_kappa"),
+            F.round(F.max("avg_kappa"), 6).alias("max_kappa"),
+        ).collect()[0]
+        print(json.dumps(summary.asDict()))
+    elif args.cmd == "eval":
+        from geometric_aware_retrieval_v2_spark.operators.evalops import ndcg_recall
+
+        out = ndcg_recall(
+            spark.read.parquet(args.run), spark.read.parquet(args.qrels), k=args.k
+        ).agg(F.avg("ndcg").alias("ndcg"), F.avg("recall").alias("recall")).collect()[0]
+        print(json.dumps({"ndcg": out.ndcg, "recall": out.recall, "k": args.k}))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

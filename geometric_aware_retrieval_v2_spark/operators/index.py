@@ -35,7 +35,9 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import time
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
 
 import numpy as np
@@ -103,10 +105,19 @@ def build_index(
         "bp", F.pmod(F.xxhash64("doc_id"), F.lit(n_partitions)).cast("int")
     )
 
-    done = mf.completed_partitions(spark, index_dir, "docstats")
-    for p in range(n_partitions):
-        if p in done:
-            continue
+    # per-partition jobs are submitted CONCURRENTLY (Spark schedules many
+    # jobs in one session); each still commits its own manifest row, so
+    # resume granularity is unchanged while driver-side job latencies overlap
+    manifest_lock = threading.Lock()
+
+    def _commit(stage: str, p: int, fp: str, rows: int, wall_ms: int, out: str) -> None:
+        with manifest_lock:
+            mf.append_manifest(
+                spark, index_dir,
+                [mf.manifest_row(run_id, stage, p, fp, rows, 0, wall_ms, out)],
+            )
+
+    def _docstats_job(p: int) -> None:
         t0 = time.monotonic()
         part = docs.filter(F.col("bp") == p).drop("bp")
         # tokenize ONCE (narrow Arrow pass), store the tf projection; doc_len
@@ -134,16 +145,14 @@ def build_index(
             F.sum(F.xxhash64("doc_id", "content_sha256").cast("decimal(38,0)")).alias("fp"),
             F.count(F.lit(1)).alias("rows"),
         ).collect()[0]
-        mf.append_manifest(
-            spark,
-            index_dir,
-            [
-                mf.manifest_row(
-                    run_id, "docstats", p, str(fp_row.fp), int(fp_row.rows), 0,
-                    int((time.monotonic() - t0) * 1000), out,
-                )
-            ],
-        )
+        _commit("docstats", p, str(fp_row.fp), int(fp_row.rows),
+                int((time.monotonic() - t0) * 1000), out)
+
+    done = mf.completed_partitions(spark, index_dir, "docstats")
+    todo = [p for p in range(n_partitions) if p not in done]
+    if todo:
+        with ThreadPoolExecutor(max_workers=min(4, len(todo))) as ex:
+            list(ex.map(_docstats_job, todo))
 
     if -1 not in mf.completed_partitions(spark, index_dir, "docmap"):
         t0 = time.monotonic()
@@ -164,11 +173,9 @@ def build_index(
             ],
         )
 
-    done = mf.completed_partitions(spark, index_dir, "segments")
     dl_by_ord = spark.read.parquet(f"{index_dir}/docmap").select("doc_id", "ord", "dl")
-    for p in range(n_partitions):
-        if p in done:
-            continue
+
+    def _segments_job(p: int) -> None:
         t0 = time.monotonic()
         tf = spark.read.parquet(f"{index_dir}/tf/part={p}")
         # postings are keyed by dense ordinal from here on; shard is a pure
@@ -192,16 +199,23 @@ def build_index(
         n_bytes = sum(
             f.stat().st_size for f in os.scandir(seg_path) if f.name.endswith(".parquet")
         )
-        mf.append_manifest(
-            spark,
-            index_dir,
-            [
-                mf.manifest_row(
-                    run_id, "segments", p, "tokenize+pack", 0,
-                    int(n_bytes), int((time.monotonic() - t0) * 1000), seg_path,
-                )
-            ],
-        )
+        with manifest_lock:
+            mf.append_manifest(
+                spark,
+                index_dir,
+                [
+                    mf.manifest_row(
+                        run_id, "segments", p, "tokenize+pack", 0,
+                        int(n_bytes), int((time.monotonic() - t0) * 1000), seg_path,
+                    )
+                ],
+            )
+
+    done = mf.completed_partitions(spark, index_dir, "segments")
+    todo = [p for p in range(n_partitions) if p not in done]
+    if todo:
+        with ThreadPoolExecutor(max_workers=min(4, len(todo))) as ex:
+            list(ex.map(_segments_job, todo))
 
     if -1 not in mf.completed_partitions(spark, index_dir, "merge"):
         t0 = time.monotonic()

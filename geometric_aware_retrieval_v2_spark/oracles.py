@@ -689,6 +689,34 @@ _JUDGE_SCORE = """
 """
 
 
+def judge_policies_sql() -> str:
+    """3-judge ensemble scores aggregated under every reference policy
+    (mean/majority/max/min, judges.py:126-148) + meta-eval mean."""
+    judges = []
+    for j in range(3):
+        judges.append(f"""
+        SELECT doc_id AS case_id,
+               lower(substr(text || ' ' || (CASE (doc_id + {j}) % 3
+                 WHEN 0 THEN 'fact evidence' WHEN 1 THEN 'reason citation' ELSE 'citation' END),
+                 1, 1000)) AS answer
+        FROM documents WHERE doc_id < 100""")
+    scores = " UNION ALL ".join(
+        f"SELECT case_id, {_JUDGE_SCORE} AS score FROM ({jq} ) t" for jq in judges
+    )
+    pol = []
+    for name, expr in [
+        ("mean", "avg(score)"),
+        ("majority", "avg(CASE WHEN score > 0.5 THEN 1.0 ELSE 0.0 END)"),
+        ("max", "max(score)"),
+        ("min", "min(score)"),
+    ]:
+        pol.append(
+            f"SELECT case_id, '{name}' AS policy, round({expr}, 6) AS agg_score "
+            f"FROM scores GROUP BY case_id"
+        )
+    return f"WITH scores AS ({scores})\n" + " UNION ALL ".join(pol)
+
+
 def rare_sql() -> str:
     return """
     WITH cases AS (

@@ -194,6 +194,43 @@ def forman_ricci_weighted(edges: dict[tuple[int, int], float]) -> dict[tuple[int
     return out
 
 
+def forman_ricci_differentiable(A: np.ndarray, eps: float = 1e-9) -> np.ndarray:
+    """Tensorized Forman (differentiable.py:214-278), naive triple loop."""
+    A_sym = (A + A.T) / 2
+    B = A_sym.shape[0]
+    deg = A_sym.sum(axis=-1)
+    out = np.zeros((B, B))
+    for i in range(B):
+        for j in range(B):
+            t1 = A_sym[i, j] * (1.0 / (deg[i] + eps) + 1.0 / (deg[j] + eps))
+            tri = 0.0
+            for k in range(B):
+                num = A_sym[i, k] * A_sym[j, k]
+                tri += num / np.sqrt(A_sym[i, j] * num + eps)
+            out[i, j] = t1 - tri
+    return out
+
+
+def info_nce_geo(d_pos: np.ndarray, d_neg: np.ndarray, temperature: float = 0.07) -> float:
+    """losses.py:43-90: CE over [-d_pos/t | -d_neg/t] with target column 0."""
+    losses = []
+    for b in range(len(d_pos)):
+        logits = np.concatenate(([-d_pos[b] / temperature], -d_neg[b] / temperature))
+        p = np.exp(logits - logits.max())
+        p = p / p.sum()
+        losses.append(-np.log(p[0]))
+    return float(np.mean(losses))
+
+
+def hinge_curvature_loss(kappa: np.ndarray, kappa_target: float = 0.0) -> float:
+    """losses.py:96-120 quadratic hinge."""
+    vals = []
+    for k in np.ravel(kappa):
+        d = max(kappa_target - k, 0.0)
+        vals.append(d * d)
+    return float(np.mean(vals))
+
+
 def graph_distribution_metrics(A: np.ndarray) -> dict[str, float]:
     A_norm = A / (A.sum(axis=-1, keepdims=True) + 1e-12)
     entropy = float((-(A_norm * np.log(A_norm + 1e-12)).sum(axis=-1)).mean())

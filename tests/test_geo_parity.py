@@ -141,6 +141,36 @@ def test_soft_knn_parity(emb_np):
     assert np.allclose(W_got, W_want, atol=1e-9)
 
 
+def test_forman_tensorized_parity():
+    from geometric_aware_retrieval_v2_spark.functions.geoformulas import (
+        forman_ricci_differentiable_np,
+    )
+
+    rng = np.random.default_rng(44)
+    A = rng.random((40, 40))
+    got = forman_ricci_differentiable_np(A, k_chunk=16)  # force chunking
+    want = oracle.forman_ricci_differentiable(A)
+    assert np.allclose(got, want, atol=1e-9)
+
+
+def test_loss_forward_parity():
+    from geometric_aware_retrieval_v2_spark.functions.geoformulas import (
+        forman_loss_np,
+        info_nce_geo_np,
+        ricci_loss_np,
+    )
+
+    rng = np.random.default_rng(45)
+    d_pos = rng.random(16)
+    d_neg = rng.random((16, 7)) + 0.5
+    assert abs(info_nce_geo_np(d_pos, d_neg) - oracle.info_nce_geo(d_pos, d_neg)) < 1e-10
+    kap = rng.normal(size=50)
+    assert abs(ricci_loss_np(kap, 0.1) - oracle.hinge_curvature_loss(kap, 0.1)) < 1e-12
+    assert abs(forman_loss_np(kap, -0.2) - oracle.hinge_curvature_loss(kap, -0.2)) < 1e-12
+    with pytest.raises(ValueError):
+        info_nce_geo_np(rng.random((2, 2)), d_neg)
+
+
 def test_forman_parity(spark, engine_edges):
     edges_df = spark.createDataFrame(
         [(u, v, w) for (u, v), w in engine_edges.items()],

@@ -122,13 +122,20 @@ def _build_partial(spark, docs, index_dir):
     """Simulate a crash after 2 segment partitions by monkey-layering."""
     import geometric_aware_retrieval_v2_spark.operators.index as idx
 
+    import threading
+
     calls = {"n": 0}
+    lock = threading.Lock()
     orig = mf.append_manifest
 
     def crashing(spark_, dir_, rows):
+        with lock:
+            calls["n"] += 1
+            n = calls["n"]
+        if n > 2:  # the "machine is dead" after the second commit
+            raise RuntimeError("simulated crash")
         orig(spark_, dir_, rows)
-        calls["n"] += 1
-        if calls["n"] >= 2:
+        if n == 2:
             raise RuntimeError("simulated crash")
 
     mf_append = mf.append_manifest
