@@ -338,7 +338,16 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth_media,
     )
 
-    return extract_features(synth_media(_docs(spark, sf_dir)))
+    feats = extract_features(synth_media(_docs(spark, sf_dir)))
+    # the histogram array is flattened to scalar columns for the driver's
+    # canonicalizer (it sort_values over all columns and cannot hash a list)
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        "first_byte",
+        "byte_sum_mod",
+        *[F.round(F.col("histogram")[i], 6).alias(f"hist_{i}") for i in range(4)],
+    )
 
 
 # ------------------------------------------------------------- eval metrics
@@ -512,7 +521,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # operators whose semantics are not expressible as one DuckDB query (graph
 # iteration); the driver records a rows-only check and pytest enforces
 # NumPy-oracle parity instead (tests/test_geo_parity.py)
-NON_SQL = {"heat_kernel_rerank", "bm25_geodesic", "media_features"}
+NON_SQL: set[str] = set()
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -596,6 +605,9 @@ def oracle_sql() -> dict[str, str]:
         "token_stats": oracles.token_stats_sql(),
         "doc_fingerprint": oracles.doc_fingerprint_sql(),
         "media_stats": oracles.media_stats_sql(),
+        "media_features": oracles.media_features_sql(),
+        "heat_kernel_rerank": oracles.heat_kernel_rerank_sql(n_queries=10, topk=50),
+        "bm25_geodesic": oracles.bm25_geodesic_sql(k=10, search_k=50),
         "ndcg_recall": oracles.ndcg_recall_sql(k=10),
         "rare": oracles.rare_sql(),
         "mock_judge": oracles.mock_judge_sql(),

@@ -79,7 +79,9 @@ def extract_features(media: DataFrame, n_bins: int = 4) -> DataFrame:
                 bs.append(int(arr.astype(np.int64).sum()) % 1_000_003)
                 hist, _ = np.histogram(arr, bins=n_bins, range=(0, 256))
                 tot = max(1, len(arr))
-                hists.append((hist / tot).round(6).tolist())
+                # raw ratios out: consumers that need fixed decimals round
+                # JVM-side (F.round) so bit patterns match SQL round()
+                hists.append((hist / tot).tolist())
             yield pd.DataFrame(
                 {
                     "media_id": ids,

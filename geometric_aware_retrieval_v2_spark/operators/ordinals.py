@@ -10,20 +10,73 @@ We sort by (doc_len, doc_id), which buys two things at once:
   * doc_len is nearly constant within a posting block, so the block's
     (max_tf, min_dl) upper bound is tight and block-max WAND actually prunes.
 
-The rank is computed WITHOUT a global single-task sort: range-repartition on
-the key, count per range, prefix-sum the counts driver-side (tiny), then each
-partition assigns offset + local rank. The resulting ordinal is the exact
-global rank — independent of partition boundaries — so the docmap is
-deterministic under any input partitioning (permutation-invariance test).
+The rank is computed WITHOUT a global single-task sort, and — critically —
+WITHOUT ``repartitionByRange``: that operator *samples* range boundaries with
+a fresh seed on every job, so the two Spark jobs this rank needs (count per
+range, then assign) would each see a different partition layout and the
+offsets would silently mismatch (observed: duplicate/out-of-range ordinals at
+>=50k rows). Instead the range boundaries are computed ONCE driver-side from
+a deterministic hash-sample and turned into a pure row-value -> bucket
+expression, so every job derives the identical bucketing by construction:
+
+  1. one metadata-cheap count;
+  2. boundaries from a deterministic xxhash64-filtered sample (no RNG);
+  3. per-bucket counts -> driver prefix sums (n_ranges rows);
+  4. hash-repartition on bucket + in-partition sort + mapInPandas local rank.
+
+The resulting ordinal is the exact global rank under (doc_len, doc_id) —
+independent of input partitioning (permutation-invariance test). At very
+large n_ranges the when-chain bucket expression would be replaced by a
+broadcast range-lookup join; the protocol is unchanged.
 """
 
 from __future__ import annotations
 
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def _sample_boundaries(
+    kv: DataFrame, n_ranges: int, k1: str, k2: str, per_range: int = 2000
+) -> list[tuple]:
+    """Deterministic (k1, k2) range boundaries: xxhash64-filtered sample
+    (pure function of row values, no seed), sorted driver-side, evenly cut.
+    Returns at most n_ranges-1 strictly increasing boundary tuples."""
+    n = kv.count()
+    if n == 0 or n_ranges <= 1:
+        return []
+    target = n_ranges * per_range
+    if n > target:
+        mod = max(2, int(n // target))
+        samp = kv.filter(F.pmod(F.xxhash64(F.col(k1), F.col(k2)), F.lit(mod)) == 0)
+    else:
+        samp = kv
+    rows = sorted((r[0], r[1]) for r in samp.collect())
+    if not rows:
+        return []
+    step = len(rows) / n_ranges
+    bounds = []
+    for i in range(1, n_ranges):
+        b = rows[min(int(i * step), len(rows) - 1)]
+        if not bounds or b > bounds[-1]:
+            bounds.append(b)
+    return bounds
+
+
+def _bucket_expr(bounds: list[tuple], k1: str, k2: str) -> Column:
+    """bucket = #boundaries <= (k1, k2), via lexicographic tuple compare —
+    a pure codegen expression, identical in every job that evaluates it."""
+    bkt = F.lit(0)
+    for b1, b2 in bounds:
+        ge = (F.col(k1) > F.lit(b1)) | (
+            (F.col(k1) == F.lit(b1)) & (F.col(k2) >= F.lit(b2))
+        )
+        bkt = bkt + F.when(ge, 1).otherwise(0)
+    return bkt.cast("int")
 
 
 def assign_ordinals(
@@ -32,29 +85,43 @@ def assign_ordinals(
     """(doc_id, doc_len, ...) -> docmap(doc_id, ord) with ord = dense global
     rank by ``keys`` (unique because doc_id is)."""
     k1, k2 = keys
-    parts = dstats.select(k1, k2).repartitionByRange(n_ranges, F.col(k1), F.col(k2))
-    parts = parts.sortWithinPartitions(k1, k2).withColumn(
-        "pid", F.spark_partition_id()
-    )
-    sizes = {r.pid: r.n for r in parts.groupBy("pid").agg(F.count(F.lit(1)).alias("n")).collect()}
+    kv = dstats.select(k1, k2)
+    bounds = _sample_boundaries(kv, n_ranges, k1, k2)
+    bucketed = kv.withColumn("bkt", _bucket_expr(bounds, k1, k2))
+    sizes = {
+        r.bkt: r.n
+        for r in bucketed.groupBy("bkt").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
     offsets = {}
     acc = 0
-    for pid in sorted(sizes):
-        offsets[pid] = acc
-        acc += sizes[pid]
+    for bkt in sorted(sizes):
+        offsets[bkt] = acc
+        acc += sizes[bkt]
+
+    # hash-repartition co-locates each bucket in exactly one partition (a
+    # partition may hold several buckets); in-partition sort makes the rows
+    # of each bucket contiguous and key-ordered, so the local rank plus the
+    # driver prefix-sum offset is the exact global rank.
+    parts = bucketed.repartition(max(len(bounds) + 1, 1), "bkt").sortWithinPartitions(
+        "bkt", k1, k2
+    )
 
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        local = 0
+        seen: dict[int, int] = {}
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            base = offsets[int(pdf["pid"].iat[0])] + local
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf[k2].to_numpy(),
-                    "ord": base + pd.RangeIndex(len(pdf)).to_numpy(),
-                }
-            )
-            local += len(pdf)
+            b = pdf["bkt"].to_numpy()
+            ids = pdf[k2].to_numpy(dtype=np.int64)
+            ords = np.empty(len(b), dtype=np.int64)
+            change = np.flatnonzero(np.diff(b)) + 1
+            starts = np.concatenate(([0], change))
+            ends = np.concatenate((change, [len(b)]))
+            for s, e in zip(starts, ends):
+                key = int(b[s])
+                base = offsets[key] + seen.get(key, 0)
+                ords[s:e] = base + np.arange(e - s)
+                seen[key] = seen.get(key, 0) + (e - s)
+            yield pd.DataFrame({"doc_id": ids, "ord": ords})
 
     return parts.mapInPandas(assign, schema="doc_id long, ord long")

@@ -156,21 +156,28 @@ def _dijkstra_from_query(adj_w: np.ndarray, q_w: np.ndarray) -> np.ndarray:
     return dist
 
 
-def _candidate_knn_weights(E: np.ndarray, knn_k: int) -> np.ndarray:
+def _candidate_knn_weights(
+    E: np.ndarray, knn_k: int, doc_ids: np.ndarray | None = None
+) -> np.ndarray:
     """Dense cosine k-NN graph among candidates: symmetric (m,m) weight
-    matrix, weight = 1-cos, 0 = no edge. Mirrors build_knn_graph semantics
-    (self excluded, undirected union of per-node top-k)."""
+    matrix, weight = 1-cos (raw), 0 = no edge. Mirrors build_knn_graph
+    semantics (self excluded, undirected union of per-node top-k). Neighbor
+    SELECTION is pinned on (round(sim, 9) desc, doc_id desc) so the graph is
+    engine-independent — raw-float argpartition ties would be arbitrary and
+    unmatchable by a SQL oracle."""
     m = E.shape[0]
     sims = E @ E.T
     np.fill_diagonal(sims, -np.inf)
     kk = min(knn_k, m - 1)
     if kk <= 0:
         return np.zeros((m, m))
-    nbr = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+    if doc_ids is None:
+        doc_ids = np.arange(m, dtype=np.int64)
+    simr = np.round(sims, RANK_KEY_DECIMALS)
     W = np.zeros((m, m))
-    rows = np.repeat(np.arange(m), kk)
-    cols = nbr.ravel()
-    W[rows, cols] = 1.0 - sims[rows, cols]
+    for i in range(m):
+        nbr = np.lexsort((-doc_ids, -simr[i]))[:kk]
+        W[i, nbr] = 1.0 - sims[i, nbr]
     W = np.maximum(W, W.T)  # undirected: edge if either side selected
     return W
 
@@ -267,7 +274,7 @@ def _geodesic_kernel(
     sims = E @ q
     m = len(doc_ids)
     if edge_pdf is None:
-        W = _candidate_knn_weights(E, knn_k)
+        W = _candidate_knn_weights(E, knn_k, doc_ids=doc_ids)
     else:
         pos = {int(d): i for i, d in enumerate(doc_ids)}
         W = np.zeros((m, m))
@@ -275,19 +282,20 @@ def _geodesic_kernel(
             i, j = pos[int(s)], pos[int(d)]
             W[i, j] = W[j, i] = float(w)
     # virtual query node: edges to top-connect_k candidates by cosine,
-    # ties larger docID first (reference argsort order, index.py:177)
-    order = np.lexsort((-doc_ids, -sims))
+    # ties larger docID first (reference argsort order, index.py:177);
+    # selection key rounded to 9dp like every engine rank key
+    order = np.lexsort((-doc_ids, -np.round(sims, RANK_KEY_DECIMALS)))
     top = order[: min(connect_k, m)]
     q_w = np.full(m, np.inf)
     q_w[top] = 1.0 - sims[top]
     dist = _dijkstra_from_query(W, q_w)
     reach = np.isfinite(dist)
+    # RAW distances out; the 6dp output rounding happens JVM-side (F.round)
+    # so the float bit pattern matches DuckDB round() exactly — np.round's
+    # scaled-rint can land 1 ulp off the correctly-rounded decimal and flip
+    # the driver's bit-exact hash even when values compare equal
     return pd.DataFrame(
-        {
-            "qid": qid,
-            "doc_id": doc_ids[reach],
-            "geo_dist": np.round(dist[reach], SCORE_DECIMALS),
-        }
+        {"qid": qid, "doc_id": doc_ids[reach], "geo_dist": dist[reach]}
     )
 
 
@@ -348,6 +356,7 @@ def geodesic_rerank(
             .cogroup(induced.groupBy("qid"))
             .applyInPandas(run2, schema="qid long, doc_id long, geo_dist double")
         )
+    out = out.withColumn("geo_dist", F.round("geo_dist", SCORE_DECIMALS))
     return grouped_topk(
         out, keys=["qid"], order=[F.col("geo_dist").asc(), F.col("doc_id").asc()], k=k
     ).select("qid", "doc_id", "geo_dist", "rank")
@@ -384,13 +393,12 @@ def ppr_rerank(
         prior = np.maximum(sims, 1e-6)
         prior = prior / prior.sum()
         p = personalized_pagerank_np(A, prior, alpha=alpha, iters=iters)
-        return pd.DataFrame(
-            {"qid": key[0], "doc_id": doc_ids, "ppr": np.round(p, 9)}
-        )
+        # raw p out; rounding happens JVM-side (see _geodesic_kernel note)
+        return pd.DataFrame({"qid": key[0], "doc_id": doc_ids, "ppr": p})
 
     out = candidates.groupBy("qid").applyInPandas(
         run, schema="qid long, doc_id long, ppr double"
-    )
+    ).withColumn("ppr", F.round("ppr", RANK_KEY_DECIMALS))
     return grouped_topk(
         out, keys=["qid"], order=[F.col("ppr").desc(), F.col("doc_id").asc()], k=k
     ).select("qid", "doc_id", "ppr", "rank")
@@ -415,20 +423,17 @@ def heat_kernel_rerank(
         q = q / qn if qn > 0 else q
         doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
         sims = E @ q
-        A = _candidate_knn_weights(E, knn_k)
+        A = _candidate_knn_weights(E, knn_k, doc_ids=doc_ids)
         D = heat_kernel_distances_np(A, t=t, steps=steps)
-        anchor = int(np.lexsort((-doc_ids, -sims))[0])
+        anchor = int(np.lexsort((-doc_ids, -np.round(sims, RANK_KEY_DECIMALS)))[0])
+        # raw distances out; rounding happens JVM-side (see _geodesic_kernel)
         return pd.DataFrame(
-            {
-                "qid": key[0],
-                "doc_id": doc_ids,
-                "heat_dist": np.round(D[anchor], 9),
-            }
+            {"qid": key[0], "doc_id": doc_ids, "heat_dist": D[anchor]}
         )
 
     out = candidates.groupBy("qid").applyInPandas(
         run, schema="qid long, doc_id long, heat_dist double"
-    )
+    ).withColumn("heat_dist", F.round("heat_dist", RANK_KEY_DECIMALS))
     return grouped_topk(
         out, keys=["qid"], order=[F.col("heat_dist").asc(), F.col("doc_id").asc()], k=k
     ).select("qid", "doc_id", "heat_dist", "rank")

@@ -19,7 +19,12 @@ B = 0.75
 
 # shared CTA fragments over the documents view -------------------------------
 
-TOKS = "SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents WHERE text IS NOT NULL"
+# engine contract: split on \s+ and drop empty tokens — list_filter keeps the
+# oracle honest on documents with doubled/leading/trailing whitespace
+TOKS = (
+    "SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term "
+    "FROM documents WHERE text IS NOT NULL"
+)
 TF = f"SELECT doc_id, term, count(*) AS tf FROM ({TOKS}) GROUP BY doc_id, term"
 DL = f"SELECT doc_id, count(*) AS doc_len FROM ({TOKS}) GROUP BY doc_id"
 
@@ -48,7 +53,7 @@ def corpus_stats_sql() -> str:
 def bm25_topk_sql(k: int = 10) -> str:
     return f"""
     WITH q AS (SELECT qid::BIGINT AS qid, qtext FROM {queries_values_sql()}),
-    qterms AS (SELECT DISTINCT qid, unnest(string_split(qtext, ' ')) AS term FROM q),
+    qterms AS (SELECT DISTINCT qid, unnest(list_filter(string_split(qtext, ' '), x -> x <> '')) AS term FROM q),
     tf AS ({TF}),
     dl AS ({DL}),
     stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(doc_len::DOUBLE) AS avgdl FROM dl),
@@ -384,7 +389,7 @@ def geodesic_rerank_sql(
     d0 AS MATERIALIZED (
       SELECT qid, doc_id AS node, 1.0 - cos AS d FROM (
         SELECT qid, doc_id, cos,
-               row_number() OVER (PARTITION BY qid ORDER BY cos DESC, doc_id DESC) AS rn
+               row_number() OVER (PARTITION BY qid ORDER BY round(cos, 9) DESC, doc_id DESC) AS rn
         FROM cand
       ) WHERE rn <= {connect_k}
     ),
@@ -397,6 +402,258 @@ def geodesic_rerank_sql(
     """
 
 
+def _knnsel_cte(knn_k: int) -> str:
+    """Shared fragment: directed candidate-kNN selection within each query's
+    candidate set — top knn_k by (round(sim,9) DESC, j DESC), weight = 1-sim
+    raw — mirroring rerank._candidate_knn_weights' pinned selection."""
+    return f"""
+      SELECT qid, i, j, 1.0 - sim AS w FROM (
+        SELECT qid, i, j, sim,
+               row_number() OVER (PARTITION BY qid, i ORDER BY round(sim, 9) DESC, j DESC) AS rn
+        FROM adj
+      ) WHERE rn <= {knn_k}
+    """
+
+
+_ADJ_CTE = """
+      SELECT a.qid, a.doc_id AS i, b.doc_id AS j,
+             list_cosine_similarity(ea.v, eb.v) AS sim
+      FROM cand a JOIN cand b ON a.qid = b.qid AND a.doc_id <> b.doc_id
+      JOIN ({emb}) ea ON ea.vec_id = a.doc_id
+      JOIN ({emb}) eb ON eb.vec_id = b.doc_id
+""".replace("{emb}", EMB)
+
+
+def heat_kernel_rerank_sql(
+    n_queries: int = 10,
+    topk: int = 50,
+    t: float = 1.0,
+    steps: int = 10,
+    knn_k: int = 10,
+    k: int = 50,
+) -> str:
+    """Heat-kernel rerank oracle: K_t = exp(-t L_norm) by the SAME Taylor/
+    Horner accumulation as the engine kernel (rerank.heat_kernel_distances_np),
+    with each matrix power UNROLLED as a materialized join-aggregate CTE.
+    d(anchor, j) = ||K_t[anchor] - K_t[j]||^2; anchor = top-cosine candidate.
+    Sub-ulp summation-order diffs vs BLAS are absorbed by the 9dp rounding."""
+    sq = "(coalesce(ka.kv, 0.0) - coalesce(kj.kv, 0.0))"
+    terms = []
+    for s in range(1, steps + 1):
+        terms.append(
+            f"""term{s} AS MATERIALIZED (
+      SELECT tt.qid, tt.i, m.j, sum(tt.v * m.mv) / {s} AS v
+      FROM term{s - 1} tt JOIN mmat m ON m.qid = tt.qid AND m.i = tt.j
+      GROUP BY tt.qid, tt.i, m.j
+    )"""
+        )
+    chain = ",\n    ".join(terms)
+    ksum = " UNION ALL ".join(
+        f"SELECT qid, i, j, v FROM term{s}" for s in range(0, steps + 1)
+    )
+    return f"""
+    WITH q AS (SELECT vec_id AS qid, v AS qv FROM ({EMB}) WHERE vec_id < {n_queries}),
+    cand AS MATERIALIZED (
+      SELECT qid, doc_id, cos FROM (
+        SELECT q.qid, e.vec_id AS doc_id, list_cosine_similarity(e.v, q.qv) AS cos,
+               row_number() OVER (
+                 PARTITION BY q.qid
+                 ORDER BY round(list_cosine_similarity(e.v, q.qv), 9) DESC, e.vec_id DESC
+               ) AS rn
+        FROM ({EMB}) e CROSS JOIN q
+      ) WHERE rn <= {topk}
+    ),
+    adj AS ({_ADJ_CTE}),
+    knnsel AS ({_knnsel_cte(knn_k)}),
+    aedges AS MATERIALIZED (
+      SELECT DISTINCT qid, i AS src, j AS dst, w AS weight FROM (
+        SELECT qid, i, j, w FROM knnsel
+        UNION ALL SELECT qid, j AS i, i AS j, w FROM knnsel
+      )
+    ),
+    deg AS (SELECT qid, src AS node, sum(weight) AS deg FROM aedges GROUP BY qid, src),
+    dinv AS (SELECT qid, node, 1.0 / sqrt(deg + 1e-8) AS dv FROM deg),
+    lrows AS (
+      SELECT qid, src AS i, dst AS j, -weight AS lv FROM aedges
+      UNION ALL
+      SELECT qid, node AS i, node AS j, deg AS lv FROM deg
+    ),
+    mmat AS MATERIALIZED (
+      SELECT l.qid, l.i, l.j, -({t}) * ((di.dv * l.lv) * dj.dv) AS mv
+      FROM lrows l
+      JOIN dinv di ON di.qid = l.qid AND di.node = l.i
+      JOIN dinv dj ON dj.qid = l.qid AND dj.node = l.j
+    ),
+    term0 AS MATERIALIZED (SELECT qid, doc_id AS i, doc_id AS j, 1.0 AS v FROM cand),
+    {chain},
+    kmat AS MATERIALIZED (
+      SELECT qid, i, j, sum(v) AS kv FROM ({ksum}) GROUP BY qid, i, j
+    ),
+    anchor AS (
+      SELECT qid, doc_id AS anode FROM (
+        SELECT qid, doc_id,
+               row_number() OVER (PARTITION BY qid ORDER BY round(cos, 9) DESC, doc_id DESC) AS rn
+        FROM cand
+      ) WHERE rn = 1
+    ),
+    heat AS (
+      SELECT jj.qid, jj.doc_id, sum({sq} * {sq}) AS hd
+      FROM cand jj
+      JOIN anchor an ON an.qid = jj.qid
+      JOIN cand c ON c.qid = jj.qid
+      LEFT JOIN kmat ka ON ka.qid = jj.qid AND ka.i = an.anode AND ka.j = c.doc_id
+      LEFT JOIN kmat kj ON kj.qid = jj.qid AND kj.i = jj.doc_id AND kj.j = c.doc_id
+      GROUP BY jj.qid, jj.doc_id
+    )
+    SELECT qid, doc_id, heat_dist, rank FROM (
+      SELECT qid, doc_id, round(hd, 9) AS heat_dist,
+             row_number() OVER (PARTITION BY qid ORDER BY round(hd, 9) ASC, doc_id ASC) AS rank
+      FROM heat
+    ) WHERE rank <= {k}
+    """
+
+
+def bm25_geodesic_sql(
+    k: int = 10,
+    search_k: int = 50,
+    connect_k: int = 10,
+    knn_k: int = 10,
+    dim: int = 64,
+    rounds: int | None = None,
+) -> str:
+    """Flagship (north-star) oracle: exhaustive BM25 top-search_k -> hashing
+    query encoder -> dense candidate k-NN graph -> Bellman-Ford geodesic.
+
+    The md5 feature-hashing encoder (functions/hashing.embed_text) is
+    re-expressed exactly: h = little-endian uint64 of md5(tok)[:8], so for
+    dim=64 the dimension is digest byte 0 mod 64 (= first hex pair) and the
+    sign bit (h >> 8) & 1 is digest byte 1 mod 2 (= second hex pair). The
+    query vector's entries are exact small integers, so its construction is
+    bit-identical; normalization cancels inside list_cosine_similarity up to
+    ulps absorbed by the 9dp rank keys."""
+    rounds = rounds if rounds is not None else search_k - 1
+    steps = []
+    for r in range(1, rounds + 1):
+        steps.append(
+            f"""d{r} AS MATERIALIZED (
+      SELECT qid, node, min(d) AS d FROM (
+        SELECT qid, node, d FROM d{r - 1}
+        UNION ALL
+        SELECT e.qid, e.dst AS node, dr.d + e.weight AS d
+        FROM d{r - 1} dr JOIN bidir e ON e.qid = dr.qid AND e.src = dr.node
+      ) GROUP BY qid, node
+    )"""
+        )
+    chain = ",\n    ".join(steps)
+    return f"""
+    WITH q AS (SELECT qid::BIGINT AS qid, qtext FROM {queries_values_sql()}),
+    qterms AS (SELECT DISTINCT qid, unnest(list_filter(string_split(qtext, ' '), x -> x <> '')) AS term FROM q),
+    tf AS ({TF}),
+    dl AS ({DL}),
+    stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(doc_len::DOUBLE) AS avgdl FROM dl),
+    tdf AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT qt.qid, tf.doc_id,
+             sum(
+               ln(1 + (s.n_docs - tdf.df + 0.5) / (tdf.df + 0.5))
+               * tf.tf::DOUBLE * ({K1} + 1)
+               / (tf.tf::DOUBLE + {K1} * (1 - {B} + {B} * dl.doc_len::DOUBLE / s.avgdl))
+             ) AS score
+      FROM tf
+      JOIN qterms qt USING (term)
+      JOIN tdf ON tdf.term = tf.term
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats s
+      GROUP BY qt.qid, tf.doc_id
+    ),
+    hits AS MATERIALIZED (
+      SELECT qid, doc_id, score FROM (
+        SELECT qid, doc_id, round(score, 6) AS score,
+               row_number() OVER (PARTITION BY qid ORDER BY round(score, 6) DESC, doc_id ASC) AS rn
+        FROM scored
+      ) WHERE rn <= {search_k}
+    ),
+    qtok AS (SELECT qid, unnest(list_filter(string_split(qtext, ' '), x -> x <> '')) AS tok FROM q),
+    qhash AS (
+      SELECT qid,
+             ('0x' || substr(md5(tok), 1, 2))::INT % {dim} AS d,
+             CASE WHEN ('0x' || substr(md5(tok), 3, 2))::INT % 2 = 1 THEN 1.0 ELSE -1.0 END AS s
+      FROM qtok
+    ),
+    qdim AS (
+      SELECT qq.qid, gs.d, coalesce(sum(qh.s), 0.0) AS val
+      FROM q qq
+      CROSS JOIN (SELECT unnest(generate_series(0, {dim - 1})) AS d) gs
+      LEFT JOIN qhash qh ON qh.qid = qq.qid AND qh.d = gs.d
+      GROUP BY qq.qid, gs.d
+    ),
+    qvec AS MATERIALIZED (
+      SELECT qid, list(val ORDER BY d) AS qv, sqrt(sum(val * val)) AS qn
+      FROM qdim GROUP BY qid
+    ),
+    cand AS MATERIALIZED (
+      SELECT h.qid, h.doc_id, h.score AS bm25,
+             CASE WHEN v.qn = 0 THEN 0.0 ELSE list_cosine_similarity(e.v, v.qv) END AS cos
+      FROM hits h
+      JOIN ({EMB}) e ON e.vec_id = h.doc_id
+      JOIN qvec v ON v.qid = h.qid
+    ),
+    adj AS ({_ADJ_CTE}),
+    knnsel AS ({_knnsel_cte(knn_k)}),
+    bidir AS MATERIALIZED (
+      SELECT DISTINCT qid, i AS src, j AS dst, w AS weight FROM (
+        SELECT qid, i, j, w FROM knnsel
+        UNION ALL SELECT qid, j AS i, i AS j, w FROM knnsel
+      )
+    ),
+    d0 AS MATERIALIZED (
+      SELECT qid, doc_id AS node, 1.0 - cos AS d FROM (
+        SELECT qid, doc_id, cos,
+               row_number() OVER (PARTITION BY qid ORDER BY round(cos, 9) DESC, doc_id DESC) AS rn
+        FROM cand
+      ) WHERE rn <= {connect_k}
+    ),
+    {chain}
+    SELECT f.qid, f.doc_id, c.bm25, f.geo_dist, f.rank FROM (
+      SELECT qid, node AS doc_id, round(d, 6) AS geo_dist,
+             row_number() OVER (PARTITION BY qid ORDER BY round(d, 6) ASC, node ASC) AS rank
+      FROM d{rounds}
+    ) f
+    JOIN cand c ON c.qid = f.qid AND c.doc_id = f.doc_id
+    WHERE f.rank <= {k}
+    """
+
+
+def media_features_sql() -> str:
+    """Byte-statistics features over the synthesized media payloads (utf-8
+    bytes of the ascii documents text, so code points == bytes)."""
+    return """
+    WITH b AS (
+      SELECT doc_id AS media_id,
+             list_transform(string_split(text, ''), x -> ascii(x)) AS bytes
+      FROM documents
+    ),
+    m AS (
+      SELECT media_id,
+             len(bytes)::BIGINT AS n_bytes,
+             (CASE WHEN len(bytes) = 0 THEN -1 ELSE bytes[1] END)::INT AS first_byte,
+             (list_sum(bytes) % 1000003)::BIGINT AS byte_sum_mod,
+             greatest(1, len(bytes))::DOUBLE AS tot,
+             len(list_filter(bytes, x -> x // 64 = 0))::DOUBLE AS c0,
+             len(list_filter(bytes, x -> x // 64 = 1))::DOUBLE AS c1,
+             len(list_filter(bytes, x -> x // 64 = 2))::DOUBLE AS c2,
+             len(list_filter(bytes, x -> x // 64 = 3))::DOUBLE AS c3
+      FROM b
+    )
+    SELECT media_id, n_bytes, first_byte, byte_sum_mod,
+           round(c0 / tot, 6) AS hist_0,
+           round(c1 / tot, 6) AS hist_1,
+           round(c2 / tot, 6) AS hist_2,
+           round(c3 / tot, 6) AS hist_3
+    FROM m
+    """
+
+
 # ------------------------------------------------------ dedup / simsearch
 
 SHINGLES = """
@@ -404,7 +661,7 @@ SHINGLES = """
     SELECT doc_id,
            unnest(list_transform(generate_series(0, len(t)-3),
                   i -> concat_ws(' ', t[i+1], t[i+2], t[i+3]))) AS shingle
-    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+    FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents)
     WHERE len(t) >= 3
   )
 """
@@ -481,7 +738,7 @@ SIMHASH = """
     FROM (
       SELECT doc_id, term, count(*) AS tf,
              ('0x' || substr(md5(term), 1, 15))::BIGINT AS h
-      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+      FROM (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term FROM documents)
       GROUP BY doc_id, term
     ) CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS j)
     GROUP BY doc_id, j

@@ -80,7 +80,7 @@ def test_media_features_match_python(spark, docs):
         assert f.first_byte == int(arr[0])
         assert f.byte_sum_mod == int(arr.astype(np.int64).sum()) % 1_000_003
         hist, _ = np.histogram(arr, bins=4, range=(0, 256))
-        assert np.allclose(f.histogram, (hist / len(arr)).round(6))
+        assert np.allclose(f.histogram, hist / len(arr))
 
 
 def test_frame_sample_shapes(spark, docs):
