@@ -213,6 +213,17 @@ def q_ppr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ppr_rerank(_cosine_candidates(spark, sf_dir, k=50), k=50, adjacency="cosine")
 
 
+def q_softknn_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPR diffusion over the soft-kNN adjacency (the reference's
+    differentiable graph forward pass) — first-class surface for the
+    soft-kNN operator; oracle re-derives the full chain in SQL."""
+    from geometric_aware_retrieval_v2_spark.operators.rerank import ppr_rerank
+
+    return ppr_rerank(
+        _cosine_candidates(spark, sf_dir, k=50), k=50, adjacency="softknn", knn_k=10
+    )
+
+
 def q_heat_kernel_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heat-kernel diffusion distances over the candidate k-NN graph
     (rows-only driver check; NumPy-oracle parity in tests)."""
@@ -281,6 +292,16 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return embedding_neardup_pairs(_emb(spark, sf_dir), threshold=0.4)
+
+
+def q_embedding_neardup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geometric_aware_retrieval_v2_spark.operators.dedup import (
+        embedding_neardup_pairs_ivf,
+    )
+
+    return embedding_neardup_pairs_ivf(
+        _emb(spark, sf_dir), threshold=0.4, every=50, nprobe=4
+    )
 
 
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -363,6 +384,21 @@ def q_rare(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     b = d.select(F.col("doc_id").alias("ref_id"), F.col("text").alias("reference"))
     return rare_overlap(a.join(b, "ref_id").select("case_id", "docs", "reference"))
+
+
+def q_rare_rouge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-L (LCS F1) branch of RARE; token sequences truncated to 30 so
+    the oracle's unrolled DP stays bounded."""
+    from geometric_aware_retrieval_v2_spark.operators.evalops import rare_rouge
+
+    d = load_table(spark, sf_dir, "documents")
+    a = d.filter(F.col("doc_id") < 100).select(
+        F.col("doc_id").alias("case_id"),
+        F.array("text").alias("docs"),
+        F.pmod(F.col("doc_id") + 7, F.lit(500)).alias("ref_id"),
+    )
+    b = d.select(F.col("doc_id").alias("ref_id"), F.col("text").alias("reference"))
+    return rare_rouge(a.join(b, "ref_id").select("case_id", "docs", "reference"), max_tokens=30)
 
 
 def _judge_cases(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -457,6 +493,25 @@ def q_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contradiction_resilience(cases)
 
 
+# ----------------------------------------------------------------- streaming
+
+def q_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-Streaming windowed aggregate over the events table, run to
+    completion with availableNow into a memory sink — the driver gate proves
+    stream(finite input) == batch(same input) against the batch SQL oracle."""
+    import uuid
+
+    from geometric_aware_retrieval_v2_spark.streaming.ingest import (
+        hourly_counts_stream,
+        read_events_stream,
+        run_to_memory,
+    )
+
+    ev = read_events_stream(spark, sf_dir)
+    name = f"stream_hourly_{uuid.uuid4().hex[:8]}"
+    return run_to_memory(hourly_counts_stream(ev), name=name, output_mode="complete")
+
+
 # ------------------------------------------------------- classic SQL coverage
 
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -542,6 +597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_metrics": q_graph_metrics,
         "geodesic_rerank": q_geodesic_rerank,
         "ppr_rerank": q_ppr_rerank,
+        "softknn_ppr": q_softknn_ppr,
         "heat_kernel_rerank": q_heat_kernel_rerank,
         "bm25_geodesic": q_bm25_geodesic,
         # dedup / similarity search
@@ -551,6 +607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "simhash_neardup": q_simhash_neardup,
         "embedding_neardup": q_embedding_neardup,
+        "embedding_neardup_ivf": q_embedding_neardup_ivf,
         "ivf_topk": q_ivf_topk,
         # text analysis
         "lang_id": q_lang_id,
@@ -563,11 +620,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # eval metrics
         "ndcg_recall": q_ndcg_recall,
         "rare": q_rare,
+        "rare_rouge": q_rare_rouge,
         "mock_judge": q_mock_judge,
         "judge_policies": q_judge_policies,
         "sud": q_sud,
         "nms": q_nms,
         "core": q_core,
+        # streaming
+        "stream_hourly": q_stream_hourly,
         # classic SQL coverage
         "tpch_q1": q_tpch_q1,
         "top_customers": q_top_customers,
@@ -590,6 +650,7 @@ def oracle_sql() -> dict[str, str]:
         "curvature_mix_topk": oracles.curvature_mix_topk_sql(alpha=0.3, k=10),
         "graph_metrics": oracles.graph_metrics_sql(knn_k=5),
         "ppr_rerank": oracles.ppr_rerank_sql(n_queries=10, topk=50),
+        "softknn_ppr": oracles.softknn_ppr_sql(n_queries=10, topk=50, knn_k=10),
         "geodesic_rerank": oracles.geodesic_rerank_sql(
             n_queries=10, search_k=50, connect_k=10, knn_k=5, k=10
         ),
@@ -599,6 +660,9 @@ def oracle_sql() -> dict[str, str]:
         "simhash": oracles.simhash_sql(),
         "simhash_neardup": oracles.simhash_neardup_sql(max_hamming=3, n_bands=4),
         "embedding_neardup": oracles.embedding_neardup_sql(threshold=0.4),
+        "embedding_neardup_ivf": oracles.embedding_neardup_ivf_sql(
+            threshold=0.4, every=50, nprobe=4
+        ),
         "ivf_topk": oracles.ivf_topk_sql(every=50, nprobe=2, k=10),
         "lang_id": oracles.lang_id_sql(),
         "quality_score": oracles.quality_score_sql(),
@@ -610,11 +674,13 @@ def oracle_sql() -> dict[str, str]:
         "bm25_geodesic": oracles.bm25_geodesic_sql(k=10, search_k=50),
         "ndcg_recall": oracles.ndcg_recall_sql(k=10),
         "rare": oracles.rare_sql(),
+        "rare_rouge": oracles.rare_rouge_sql(max_tokens=30),
         "mock_judge": oracles.mock_judge_sql(),
         "judge_policies": oracles.judge_policies_sql(),
         "sud": oracles.sud_sql(),
         "nms": oracles.nms_sql(),
         "core": oracles.core_sql(),
+        "stream_hourly": oracles.stream_hourly_sql(),
         "tpch_q1": oracles.tpch_q1_sql(),
         "top_customers": oracles.top_customers_sql(k=20),
         "events_hourly": oracles.events_hourly_sql(),

@@ -16,10 +16,14 @@ import json
 import sys
 
 
-def main(argv: list[str] | None = None) -> int:
+def main(argv: list[str] | None = None, spark=None) -> int:
+    """``spark=None`` (spark-submit path) builds and owns a session;
+    passing one (tests, notebooks) reuses it and leaves it running."""
     from pyspark.sql import functions as F
 
     from geometric_aware_retrieval_v2_spark.session import get_spark
+
+    owns_session = spark is None
 
     p = argparse.ArgumentParser(prog="gar2-spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -47,7 +51,8 @@ def main(argv: list[str] | None = None) -> int:
     e.add_argument("--k", type=int, default=10)
 
     args = p.parse_args(argv)
-    spark = get_spark(app_name=f"gar2-{args.cmd}")
+    if spark is None:
+        spark = get_spark(app_name=f"gar2-{args.cmd}")
 
     if args.cmd == "build-index":
         from geometric_aware_retrieval_v2_spark.operators.index import build_index
@@ -89,7 +94,8 @@ def main(argv: list[str] | None = None) -> int:
             spark.read.parquet(args.run), spark.read.parquet(args.qrels), k=args.k
         ).agg(F.avg("ndcg").alias("ndcg"), F.avg("recall").alias("recall")).collect()[0]
         print(json.dumps({"ndcg": out.ndcg, "recall": out.recall, "k": args.k}))
-    spark.stop()
+    if owns_session:
+        spark.stop()
     return 0
 
 

@@ -185,30 +185,27 @@ def simhash(tf: DataFrame) -> DataFrame:
 
     Term hash = first 15 md5 hex digits as a 60-bit int; bit j of the
     fingerprint is 1 iff sum over terms of tf * (bit_j(hash) ? +1 : -1) > 0.
-    """
+
+    Shape: ONE hash aggregate with 60 sum columns (one per bit), all
+    map-side-combinable, so the shuffle carries one row per (doc, map
+    partition) — the earlier explode(sequence(0,59)) formulation pushed 60x
+    the tokenize output through two shuffles. The per-bit contribution is
+    pure integer codegen; the SQL-shaped explode formulation survives as the
+    DuckDB oracle (oracles.simhash_sql), values identical (exact integer
+    arithmetic on both sides)."""
     h = F.conv(F.substring(F.md5(F.col("term")), 1, 15), 16, 10).cast("long")
-    bits = tf.select(
-        "doc_id",
-        "tf",
-        h.alias("h"),
-        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("j"),
-    ).select(
-        "doc_id",
-        "j",
-        # the Python shiftright/shiftleft wrappers only take literal shift
-        # amounts — SQL expressions accept a column shift
-        F.expr("((shiftright(h, j) & 1) * 2 - 1) * tf").alias("v"),
-    )
-    return (
-        bits.groupBy("doc_id", "j")
-        .agg(F.sum("v").alias("s"))
-        .groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.expr("IF(s > 0, shiftleft(cast(1 AS BIGINT), j), cast(0 AS BIGINT))")
-            ).alias("simhash")
+    pre = tf.select("doc_id", "tf", h.alias("h"))
+    aggs = [
+        F.sum(F.expr(f"((shiftright(h, {j}) & 1) * 2 - 1) * tf")).alias(f"s{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    per_doc = pre.groupBy("doc_id").agg(*aggs)
+    sim = F.lit(0).cast("long")
+    for j in range(SIMHASH_BITS):
+        sim = sim + F.when(F.col(f"s{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
         )
-    )
+    return per_doc.select("doc_id", sim.alias("simhash"))
 
 
 def simhash_neardup_pairs(
@@ -278,6 +275,58 @@ def embedding_neardup_pairs(
     nb = F.sqrt(_sum_arr(F.transform(F.col("vb"), lambda x: x * x)))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(dot / (na * nb), JACCARD_DECIMALS).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )
+
+
+def embedding_neardup_pairs_ivf(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    every: int = 50,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scale path for embedding near-dup: IVF-bucketed candidate generation,
+    exact cosine verification only within buckets — the vector analogue of
+    the MinHash-LSH band join (never all-pairs).
+
+    Every vector is multi-assigned to its ``nprobe`` nearest coarse cells
+    (simsearch.assign_ivf); candidate pairs are generated per cell (the pair
+    fan-out is bounded by |corpus| * nprobe^2 / n_cells per cell, a shuffle-
+    on-key join, not a BroadcastNestedLoopJoin); candidates are then verified
+    with the exact JVM cosine. Recall: two high-cosine vectors share a
+    nearest cell with probability rising in nprobe — pytest asserts the
+    bucketed pairs cover the brute-force pairs on the test corpus;
+    ``embedding_neardup_pairs`` stays the small-scale oracle."""
+    from geometric_aware_retrieval_v2_spark.operators.rerank import _sum_arr
+    from geometric_aware_retrieval_v2_spark.operators.simsearch import (
+        assign_ivf,
+        centroids_every,
+    )
+
+    cents = centroids_every(emb, every=every, id_col=id_col, vec_col=vec_col)
+    assign = assign_ivf(emb, cents, id_col=id_col, vec_col=vec_col, nprobe=nprobe)
+    cand = (
+        assign.select(F.col(id_col).alias("id_a"), "cell")
+        .join(assign.select(F.col(id_col).alias("id_b"), "cell"), "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = emb.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).cast("array<double>").alias("va")
+    )
+    vb = emb.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).cast("array<double>").alias("vb")
+    )
+    dot = _sum_arr(F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y))
+    na = F.sqrt(_sum_arr(F.transform(F.col("va"), lambda x: x * x)))
+    nb = F.sqrt(_sum_arr(F.transform(F.col("vb"), lambda x: x * x)))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
         .select("id_a", "id_b", F.round(dot / (na * nb), JACCARD_DECIMALS).alias("cos"))
         .filter(F.col("cos") >= threshold)
     )

@@ -115,6 +115,69 @@ def rare_overlap(cases: DataFrame, id_col: str = "case_id") -> DataFrame:
     )
 
 
+def _lcs_len(a: list[str], b_arr) -> int:
+    """LCS length via the rolling-row DP, vectorized over the reference axis:
+    c_i[j] = max(c_{i-1}[j], prefixmax_{j'<=j, b[j']=a[i]} (c_{i-1}[j'-1]+1)).
+    The prefix-max closed form replaces the sequential c_i[j-1] dependency
+    (any subsequence counted either skips a[i] or matches it at some j'<=j),
+    so the inner loop is pure NumPy."""
+    import numpy as np
+
+    if len(a) == 0 or len(b_arr) == 0:
+        return 0
+    prev = np.zeros(len(b_arr) + 1, dtype=np.int64)
+    for tok in a:
+        cand = np.where(b_arr == tok, prev[:-1] + 1, 0)
+        np.maximum.accumulate(cand, out=cand)
+        nxt = prev.copy()
+        nxt[1:] = np.maximum(prev[1:], cand)
+        prev = nxt
+    return int(prev[-1])
+
+
+def rare_rouge(
+    cases: DataFrame, max_tokens: int | None = None, id_col: str = "case_id"
+) -> DataFrame:
+    """(case_id, docs array<string>, reference string) -> (case_id, rouge_l).
+
+    The ROUGE-L branch of RARE (/root/reference/geoIR/eval/rare.py:25-29):
+    answer = " ".join(docs)[:1000], score = LCS-based F1 against the
+    reference = 2*lcs/(|ans|+|ref|). Tokens are lowercase alphanumeric runs
+    (rouge_score's regex contract); the Porter stemmer is an external
+    dependency even in the reference — documented deviation, matching its
+    own no-package fallback spirit. ``max_tokens`` truncates both token
+    sequences (bounds the oracle's DP unroll; None = full).
+
+    Tokenization is JVM codegen; only the O(|a|*|b|/word-width) DP runs in
+    the Arrow batch kernel."""
+    import numpy as np  # noqa: F401  (kernel dependency)
+
+    def tok(c: F.Column) -> F.Column:
+        t = F.filter(F.split(F.lower(c), "[^a-z0-9]+"), lambda x: x != "")
+        return F.slice(t, 1, max_tokens) if max_tokens else t
+
+    prep = cases.select(
+        F.col(id_col), tok(_answer_col()).alias("atoks"), tok(F.col("reference")).alias("rtoks")
+    )
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, scores = [], []
+            for cid, a, b in zip(pdf[id_col], pdf["atoks"], pdf["rtoks"]):
+                b_arr = np.asarray(b, dtype=object)
+                lcs = _lcs_len(list(a), b_arr)
+                denom = len(a) + len(b)
+                scores.append(2.0 * lcs / denom if denom and lcs else 0.0)
+                ids.append(cid)
+            yield pd.DataFrame({id_col: ids, "rouge_l": scores})
+
+    out = prep.mapInPandas(run, schema=f"{id_col} long, rouge_l double")
+    return out.withColumn("rouge_l", F.round("rouge_l", OUT_DECIMALS))
+
+
 def mock_judge(cases: DataFrame, docs_col: str = "docs", id_col: str = "case_id") -> DataFrame:
     """(case_id, docs) -> (case_id, judge_score): MockJudge keyword-hit
     fraction (substring containment, judges.py:115-119)."""

@@ -42,7 +42,7 @@ from dataclasses import dataclass
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from geometric_aware_retrieval_v2_spark.functions.tokenizer import (
@@ -127,6 +127,9 @@ def build_index(
         tf_stored = spark.read.parquet(tf_path)
         dl = tf_stored.groupBy("doc_id").agg(F.sum("tf").alias("doc_len"))
         out = f"{index_dir}/docstats/part={p}"
+        # the input fingerprint rides the write job as an Observation —
+        # no separate post-write aggregation job per partition
+        obs = Observation(f"docstats-fp-{p}")
         (
             part.select("doc_id", F.sha2("content", 256).alias("content_sha256"))
             .join(dl, "doc_id", "left")
@@ -135,17 +138,17 @@ def build_index(
                 F.coalesce("doc_len", F.lit(0)).alias("doc_len"),
                 "content_sha256",
             )
+            .observe(
+                obs,
+                # decimal(38,0) accumulation: overflow-free under ANSI mode
+                F.sum(F.xxhash64("doc_id", "content_sha256").cast("decimal(38,0)")).alias("fp"),
+                F.count(F.lit(1)).alias("rows"),
+            )
             .write.mode("overwrite")
             .parquet(out)
         )
-        # input fingerprint from the just-written docstats (content_sha256 is
-        # already per-row) — no second scan of the raw content
-        fp_row = spark.read.parquet(out).agg(
-            # decimal(38,0) accumulation: overflow-free under ANSI mode
-            F.sum(F.xxhash64("doc_id", "content_sha256").cast("decimal(38,0)")).alias("fp"),
-            F.count(F.lit(1)).alias("rows"),
-        ).collect()[0]
-        _commit("docstats", p, str(fp_row.fp), int(fp_row.rows),
+        got = obs.get
+        _commit("docstats", p, str(got["fp"]), int(got["rows"]),
                 int((time.monotonic() - t0) * 1000), out)
 
     done = mf.completed_partitions(spark, index_dir, "docstats")
@@ -220,7 +223,15 @@ def build_index(
     if -1 not in mf.completed_partitions(spark, index_dir, "merge"):
         t0 = time.monotonic()
         segments = spark.read.parquet(f"{index_dir}/segments")
-        merged = merge_segments(segments, n_shards=n_shards, block_size=block_size)
+        # logical merge (cross-segment blocks are doc-disjoint, see
+        # merge_segments) until fragmentation matters; physical compaction
+        # kicks in automatically at high partition counts
+        merged = merge_segments(
+            segments,
+            n_shards=n_shards,
+            block_size=block_size,
+            compact=n_partitions > 32,
+        )
         merged.write.mode("overwrite").parquet(f"{index_dir}/postings")
         postings = spark.read.parquet(f"{index_dir}/postings")
         # dictionary + corpus stats from metadata columns only (bytes never read)
@@ -282,9 +293,15 @@ def _score_group_kernel(
     keep = np.ones(nb, dtype=bool)
     if use_wand and nb > 2:
         # phase 1: decode a few highest-ub blocks -> theta (lower bound on
-        # the true kth-best score: partial sums are <= true scores)
+        # the true kth-best score: partial sums are <= true scores). The
+        # probe set is the global top few PLUS the single highest-ub block
+        # of EVERY query term: multi-term queries otherwise establish theta
+        # from one hot term only, so the floor misses the cross-term score
+        # mass and phase 2 keeps nearly everything
         order = np.argsort(-ub, kind="mergesort")
         probe = order[: max(2, min(nb, 2 * max(k // 8, 1) + 2))]
+        _, first_idx = np.unique(terms[order], return_index=True)
+        probe = np.unique(np.concatenate([probe, order[first_idx]]))
         pd_docs = np.concatenate([decode(int(i))[0] for i in probe])
         pd_scores = np.concatenate([decode(int(i))[1] for i in probe])
         uniq, inv = np.unique(pd_docs, return_inverse=True)
@@ -348,8 +365,10 @@ class IndexHandle:
         return self
 
 
-def _candidate_blocks(handle: IndexHandle, queries: DataFrame) -> DataFrame:
-    """Postings blocks for query terms, tagged with qid + idf.
+def _candidate_blocks(handle: IndexHandle, queries: DataFrame) -> DataFrame | None:
+    """Postings blocks for query terms, tagged with qid + idf. Returns None
+    when no query term exists in the dictionary (all-OOV early exit: a
+    zero-hit query must not pay the full scan/join/kernel plan).
 
     The term IN (...) filter is pushed into the parquet scan (predicate
     pushdown + row-group stat skipping); the bytes column is read only for
@@ -357,10 +376,18 @@ def _candidate_blocks(handle: IndexHandle, queries: DataFrame) -> DataFrame:
     """
     qt = query_terms(queries)
     qterm_list = [r.term for r in qt.select("term").distinct().collect()]
+    present = [
+        r.term
+        for r in handle.dictionary.filter(F.col("term").isin(qterm_list))
+        .select("term")
+        .collect()
+    ]
+    if not present:
+        return None
     n = float(handle.meta.n_docs)
     idf = F.log(F.lit(1.0) + (F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5))
     return (
-        handle.postings.filter(F.col("term").isin(qterm_list))
+        handle.postings.filter(F.col("term").isin(present))
         .join(F.broadcast(qt), "term")
         .join(
             F.broadcast(handle.dictionary.withColumn("idf", idf).select("term", "idf")),
@@ -385,6 +412,10 @@ def bm25_topk_indexed(
     meta = handle.meta
     use_wand = method == "wand"
     cand = _candidate_blocks(handle, queries)
+    if cand is None:
+        return spark.createDataFrame(
+            [], schema="qid long, doc_id long, score double, rank long"
+        )
 
     # per-shard partials keep k + headroom: rounded-score ties across distinct
     # (tf, dl) profiles are ordered by doc_id in the final window, and ordinal
@@ -423,6 +454,10 @@ def wand_block_stats(
     handle = IndexHandle(spark, index) if isinstance(index, str) else index
     meta = handle.meta
     cand = _candidate_blocks(handle, queries)
+    if cand is None:
+        return spark.createDataFrame(
+            [], schema="qid long, shard int, n_blocks long, n_decoded long"
+        )
 
     def run(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         _, _, nb, ndec = _score_group_kernel(

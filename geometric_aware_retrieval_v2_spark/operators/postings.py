@@ -213,18 +213,43 @@ def unpack_postings(postings: DataFrame) -> DataFrame:
 
 
 def merge_segments(
-    segments: DataFrame, n_shards: int, block_size: int = BLOCK_SIZE_DEFAULT
+    segments: DataFrame,
+    n_shards: int,
+    block_size: int = BLOCK_SIZE_DEFAULT,
+    compact: bool = False,
 ) -> DataFrame:
-    """Distributed segment merge (SURVEY.md B6): union of per-build-partition
-    segment block rows -> decode -> re-pack into consolidated, doc-sorted,
-    non-overlapping blocks per (term, shard).
+    """Distributed segment merge (SURVEY.md B6): consolidate per-build-
+    partition segment block rows into the final postings table.
 
-    Block rows are compressed (~25 bytes/posting payload), so a parquet scan
-    of them often collapses to ONE input split under maxPartitionBytes —
-    which would serialize the whole decode. Explicitly re-spread the block
-    rows across the cluster before unpacking; the pack's own
-    repartition(term, shard) then restores grouping."""
+    Two modes, mirroring production engines' logical-vs-physical merge split:
+
+    * ``compact=False`` (default, logical merge / deferred compaction):
+      build partitions hold DISJOINT document sets, so per-(term, shard)
+      blocks from different segments contain disjoint docIDs — the union of
+      segment block rows is already a correct postings table: the WAND
+      kernel accumulates per-doc scores across blocks with no cross-block
+      order requirement, block-max bounds stay per-block-tight (ordinal
+      locality holds within each segment), and the dictionary's df = sum(n)
+      is unchanged. Cost: a parallel columnar copy — no decode, no shuffle
+      of raw postings. Overhead vs compacted: delta gaps ~log128(P) extra
+      bytes and up to min(P, df) block rows per rare term.
+
+    * ``compact=True`` (physical merge): decode -> reshuffle on
+      (term, shard) -> re-pack into doc-sorted non-overlapping blocks. This
+      is the right call when the segment count P is large (rare-term block
+      fragmentation) — build_index switches to it automatically — or as a
+      background compaction job. Block rows are compressed (~25 bytes/
+      posting payload), so the scan is explicitly re-spread before decoding
+      lest maxPartitionBytes collapse it to one task.
+    """
     spark = segments.sparkSession
     n_tasks = max(spark.sparkContext.defaultParallelism, 8)
+    if not compact:
+        # hash-cluster on (term, shard) + in-partition sort so every term's
+        # blocks land contiguously in one output file — parquet row-group
+        # stats then prune term-IN scans as tightly as the compacted layout
+        return segments.repartition(n_tasks, "term", "shard").sortWithinPartitions(
+            "term", "shard", "first_doc"
+        )
     spread = segments.repartition(n_tasks)
     return pack_postings(unpack_postings(spread), n_shards=n_shards, block_size=block_size)

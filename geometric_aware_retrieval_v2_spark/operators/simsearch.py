@@ -40,8 +40,11 @@ def centroids_every(emb: DataFrame, every: int = 50, id_col: str = "vec_id",
 
 
 def assign_ivf(emb: DataFrame, cents: DataFrame, id_col: str = "vec_id",
-               vec_col: str = "embedding") -> DataFrame:
-    """-> (vec_id, cell): nearest centroid by cosine (ties: lower cell)."""
+               vec_col: str = "embedding", nprobe: int = 1) -> DataFrame:
+    """-> (vec_id, cell): the ``nprobe`` nearest centroids by cosine (ties:
+    lower cell). nprobe=1 is the classic single-cell assignment; nprobe>1 is
+    the multi-assignment used for recall-bounded candidate generation (a
+    vector is listed in several cells, so near neighbors meet in >=1)."""
     joined = emb.select(
         F.col(id_col), F.col(vec_col).alias("embedding")
     ).crossJoin(F.broadcast(cents.withColumnRenamed("cvec", "qvec")))
@@ -49,7 +52,7 @@ def assign_ivf(emb: DataFrame, cents: DataFrame, id_col: str = "vec_id",
         id_col, "cell", F.round(cosine_expr("embedding"), RANK_KEY_DECIMALS).alias("sim")
     )
     best = grouped_topk(
-        scored, keys=[id_col], order=[F.col("sim").desc(), F.col("cell").asc()], k=1
+        scored, keys=[id_col], order=[F.col("sim").desc(), F.col("cell").asc()], k=nprobe
     )
     return best.select(id_col, "cell")
 

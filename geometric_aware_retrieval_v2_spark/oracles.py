@@ -267,17 +267,9 @@ def ndcg_recall_sql(k: int = 10, n_queries: int = 10, run_k: int = 50) -> str:
     """
 
 
-def ppr_rerank_sql(
-    n_queries: int = 10,
-    topk: int = 50,
-    alpha: float = 0.2,
-    iters: int = 20,
-) -> str:
-    """Personalized-PageRank rerank oracle: the 20 power iterations are
-    UNROLLED as chained CTEs (p0..p20) — recursive CTEs cannot aggregate in
-    DuckDB 1.0, but a fixed iteration count needs no recursion. Mirrors the
-    engine kernel exactly: A = clip(cos,0) with zero diagonal over the
-    cosine top-k candidates, prior = clamp(sims,1e-6)/sum,
+def _ppr_steps(iters: int, alpha: float) -> str:
+    """Unrolled PPR power iterations p1..p{iters} as chained materialized
+    CTEs over `prior` (qid, doc_id, pr) and `anorm` (qid, i, j, a):
     p <- (1-alpha)*prior + alpha * A_norm^T p."""
     steps = []
     for it in range(1, iters + 1):
@@ -292,7 +284,22 @@ def ppr_rerank_sql(
       ) m ON m.qid = pr.qid AND m.doc_id = pr.doc_id
     )"""
         )
-    chain = ",\n    ".join(steps)
+    return ",\n    ".join(steps)
+
+
+def ppr_rerank_sql(
+    n_queries: int = 10,
+    topk: int = 50,
+    alpha: float = 0.2,
+    iters: int = 20,
+) -> str:
+    """Personalized-PageRank rerank oracle: the 20 power iterations are
+    UNROLLED as chained CTEs (p0..p20) — recursive CTEs cannot aggregate in
+    DuckDB 1.0, but a fixed iteration count needs no recursion. Mirrors the
+    engine kernel exactly: A = clip(cos,0) with zero diagonal over the
+    cosine top-k candidates, prior = clamp(sims,1e-6)/sum,
+    p <- (1-alpha)*prior + alpha * A_norm^T p."""
+    chain = _ppr_steps(iters, alpha)
     return f"""
     WITH q AS (SELECT vec_id AS qid, v AS qv FROM ({EMB}) WHERE vec_id < {n_queries}),
     cand AS (
@@ -325,6 +332,112 @@ def ppr_rerank_sql(
     anorm AS MATERIALIZED (
       SELECT qid, i, j, w / (sum(w) OVER (PARTITION BY qid, i) + 1e-12) AS a
       FROM adj
+    ),
+    p0 AS MATERIALIZED (SELECT qid, doc_id, pr AS p FROM prior),
+    {chain}
+    SELECT qid, doc_id, round(p, 9) AS ppr,
+           row_number() OVER (PARTITION BY qid ORDER BY round(p, 9) DESC, doc_id ASC) AS rank
+    FROM p{iters}
+    """
+
+
+def softknn_ppr_sql(
+    n_queries: int = 10,
+    topk: int = 50,
+    knn_k: int = 10,
+    alpha: float = 0.2,
+    iters: int = 20,
+) -> str:
+    """PPR over the soft-kNN adjacency — the reference's differentiable graph
+    forward semantics (soft_knn_graph_np; /root/reference/geoIR/geo/
+    differentiable.py:19-140) re-expressed relationally, step for step:
+    squared-L2 cdist on row-normalized embeddings; gamma = P20(D2>0 upper
+    tri)/ln(k) (quantile_cont == np.percentile 'linear'); row softmax with
+    max-shift; tau-fix rows to mass k; hard top-k threshold at the k-th
+    largest (the boundary element is each side's own k-th value, so the kept
+    pattern is perturbation-stable); symmetrize (A+A^T)/2; renormalize rows
+    to mass k; then the standard unrolled PPR chain."""
+    chain = _ppr_steps(iters, alpha)
+    return f"""
+    WITH q AS (SELECT vec_id AS qid, v AS qv FROM ({EMB}) WHERE vec_id < {n_queries}),
+    cand AS MATERIALIZED (
+      SELECT qid, doc_id FROM (
+        SELECT q.qid, e.vec_id AS doc_id,
+               row_number() OVER (
+                 PARTITION BY q.qid
+                 ORDER BY round(list_cosine_similarity(e.v, q.qv), 9) DESC, e.vec_id DESC
+               ) AS rn
+        FROM ({EMB}) e CROSS JOIN q
+      ) WHERE rn <= {topk}
+    ),
+    sims AS (
+      SELECT c.qid, c.doc_id, list_cosine_similarity(e.v, q.qv) AS s
+      FROM cand c JOIN ({EMB}) e ON e.vec_id = c.doc_id JOIN q ON q.qid = c.qid
+    ),
+    prior AS MATERIALIZED (
+      SELECT qid, doc_id,
+             greatest(s, 1e-6) / sum(greatest(s, 1e-6)) OVER (PARTITION BY qid) AS pr
+      FROM sims
+    ),
+    cn AS MATERIALIZED (
+      SELECT c.qid, c.doc_id,
+             list_transform(e.v, x -> x / sqrt(list_inner_product(e.v, e.v))) AS en
+      FROM cand c JOIN ({EMB}) e ON e.vec_id = c.doc_id
+    ),
+    d2 AS MATERIALIZED (
+      SELECT a.qid, a.doc_id AS i, b.doc_id AS j,
+             greatest(list_inner_product(a.en, a.en) + list_inner_product(b.en, b.en)
+                      - 2 * list_inner_product(a.en, b.en), 0.0) AS d2
+      FROM cn a JOIN cn b ON a.qid = b.qid AND a.doc_id <> b.doc_id
+    ),
+    gam AS MATERIALIZED (
+      SELECT qid,
+             greatest(coalesce(quantile_cont(d2, 0.2) FILTER (WHERE d2 > 0), 1.0)
+                      / ln({max(knn_k, 2)}), 1e-12) AS g
+      FROM d2 WHERE i < j GROUP BY qid
+    ),
+    logits AS (
+      SELECT dd.qid, dd.i, dd.j, -dd.d2 / g.g AS lg
+      FROM d2 dd JOIN gam g ON g.qid = dd.qid
+    ),
+    rowmax AS (SELECT qid, i, max(lg) AS mx FROM logits GROUP BY qid, i),
+    ex AS MATERIALIZED (
+      SELECT l.qid, l.i, l.j, exp(l.lg - r.mx) AS ex
+      FROM logits l JOIN rowmax r ON r.qid = l.qid AND r.i = l.i
+    ),
+    pmat AS (
+      SELECT qid, i, j, ex / sum(ex) OVER (PARTITION BY qid, i) AS p FROM ex
+    ),
+    a1 AS MATERIALIZED (
+      SELECT qid, i, j, p * ({knn_k} / sum(p) OVER (PARTITION BY qid, i)) AS a FROM pmat
+    ),
+    nsz AS (SELECT qid, count(*) AS m FROM cand GROUP BY qid),
+    kth AS (
+      SELECT qid, i, a AS kv FROM (
+        SELECT qid, i, a, row_number() OVER (PARTITION BY qid, i ORDER BY a DESC) AS rn
+        FROM a1
+      ) WHERE rn = {knn_k}
+    ),
+    a2 AS (
+      SELECT a1.qid, a1.i, a1.j,
+             CASE WHEN n.m - 1 <= {knn_k} OR (k.kv IS NOT NULL AND a1.a >= k.kv)
+                  THEN a1.a ELSE 0.0 END AS a
+      FROM a1
+      JOIN nsz n ON n.qid = a1.qid
+      LEFT JOIN kth k ON k.qid = a1.qid AND k.i = a1.i
+    ),
+    asym AS MATERIALIZED (
+      SELECT x.qid, x.i, x.j, 0.5 * (x.a + y.a) AS a
+      FROM a2 x JOIN a2 y ON y.qid = x.qid AND y.i = x.j AND y.j = x.i
+    ),
+    rsum AS (SELECT qid, i, sum(a) AS s FROM asym GROUP BY qid, i),
+    afin AS MATERIALIZED (
+      SELECT x.qid, x.i, x.j, x.a * ({knn_k} / (r.s + 1e-8)) AS w
+      FROM asym x JOIN rsum r ON r.qid = x.qid AND r.i = x.i
+    ),
+    anorm AS MATERIALIZED (
+      SELECT qid, i, j, w / (sum(w) OVER (PARTITION BY qid, i) + 1e-12) AS a
+      FROM afin
     ),
     p0 AS MATERIALIZED (SELECT qid, doc_id, pr AS p FROM prior),
     {chain}
@@ -783,6 +896,38 @@ def embedding_neardup_sql(threshold: float = 0.4) -> str:
     """
 
 
+def embedding_neardup_ivf_sql(
+    threshold: float = 0.4, every: int = 50, nprobe: int = 3
+) -> str:
+    """IVF-bucketed near-dup oracle: nprobe-multi-assignment, pairs within
+    shared cells, exact cosine verify — mirrors dedup.embedding_neardup_pairs_ivf."""
+    return f"""
+    WITH cents AS (
+      SELECT (vec_id / {every})::BIGINT AS cell, v AS cvec
+      FROM ({EMB}) WHERE vec_id % {every} = 0
+    ),
+    assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT e.vec_id, c.cell,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY round(list_cosine_similarity(e.v, c.cvec), 9) DESC, c.cell ASC
+               ) AS rn
+        FROM ({EMB}) e CROSS JOIN cents c
+      ) WHERE rn <= {nprobe}
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, round(list_cosine_similarity(ea.v, eb.v), 6) AS cos
+    FROM cand
+    JOIN ({EMB}) ea ON ea.vec_id = cand.id_a
+    JOIN ({EMB}) eb ON eb.vec_id = cand.id_b
+    WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= {threshold}
+    """
+
+
 def ivf_topk_sql(every: int = 50, nprobe: int = 2, k: int = 10, n_queries: int = 10) -> str:
     return f"""
     WITH cents AS (
@@ -995,6 +1140,64 @@ def rare_sql() -> str:
     """
 
 
+def rare_rouge_sql(max_tokens: int = 30, n_cases: int = 100) -> str:
+    """ROUGE-L F1 oracle: the LCS DP is UNROLLED, one materialized CTE per
+    answer token (r0..r{max_tokens}), each applying the engine kernel's exact
+    row recurrence c_i[j] = max(c_{i-1}[j], max_{j'<=j, b[j']=a[i]}
+    (c_{i-1}[j'-1]+1)) as a join-aggregate. F1 = 2*lcs/(|a|+|b|) — exact
+    integer arithmetic, so the 6dp rounding is bit-identical by construction."""
+    steps = []
+    for i in range(1, max_tokens + 1):
+        steps.append(
+            f"""r{i} AS MATERIALIZED (
+      SELECT r.case_id, r.j, greatest(r.c, coalesce(m.best, 0)) AS c
+      FROM r{i - 1} r LEFT JOIN (
+        SELECT a.case_id, bj.j, max(p.c + 1) AS best
+        FROM atok a
+        JOIN btok mt ON mt.case_id = a.case_id AND mt.tok = a.tok
+        JOIN r{i - 1} p ON p.case_id = a.case_id AND p.j = mt.j - 1
+        JOIN btok bj ON bj.case_id = a.case_id AND bj.j >= mt.j
+        WHERE a.i = {i}
+        GROUP BY a.case_id, bj.j
+      ) m ON m.case_id = r.case_id AND m.j = r.j
+    )"""
+        )
+    chain = ",\n    ".join(steps)
+    return f"""
+    WITH cases AS (
+      SELECT a.doc_id AS case_id,
+             substr(a.text, 1, 1000) AS answer,
+             b.text AS reference
+      FROM documents a JOIN documents b ON b.doc_id = (a.doc_id + 7) % 500
+      WHERE a.doc_id < {n_cases}
+    ),
+    t AS MATERIALIZED (
+      SELECT case_id,
+             list_filter(string_split_regex(lower(answer), '[^a-z0-9]+'), x -> x <> '')[1:{max_tokens}] AS atoks,
+             list_filter(string_split_regex(lower(reference), '[^a-z0-9]+'), x -> x <> '')[1:{max_tokens}] AS rtoks
+      FROM cases
+    ),
+    atok AS MATERIALIZED (
+      SELECT case_id, unnest(generate_series(1, len(atoks))) AS i, unnest(atoks) AS tok FROM t
+    ),
+    btok AS MATERIALIZED (
+      SELECT case_id, unnest(generate_series(1, len(rtoks))) AS j, unnest(rtoks) AS tok FROM t
+    ),
+    r0 AS MATERIALIZED (
+      SELECT case_id, 0 AS j, 0 AS c FROM t
+      UNION ALL
+      SELECT case_id, j, 0 AS c FROM btok
+    ),
+    {chain},
+    lcs AS (SELECT case_id, max(c) AS lcs FROM r{max_tokens} GROUP BY case_id)
+    SELECT t.case_id,
+           round(CASE WHEN coalesce(l.lcs, 0) = 0 OR len(t.atoks) + len(t.rtoks) = 0
+                      THEN 0.0
+                      ELSE 2.0 * l.lcs / (len(t.atoks) + len(t.rtoks)) END, 6) AS rouge_l
+    FROM t LEFT JOIN lcs l ON l.case_id = t.case_id
+    """
+
+
 def mock_judge_sql() -> str:
     return f"""
     WITH cases AS ({JUDGE_CASES}),
@@ -1060,6 +1263,19 @@ def core_sql() -> str:
       FROM cases
     )
     SELECT case_id, round(1.0 / (1.0 + negs), 6) AS core FROM t
+    """
+
+
+def stream_hourly_sql() -> str:
+    """Batch equivalent of the streaming tumbling-window aggregate (the
+    stream==batch contract on finite input; no n_users — exact distinct
+    counts are not streamable)."""
+    return """
+    SELECT epoch(date_trunc('hour', ts))::BIGINT AS hour_epoch, event_type,
+           count(*) AS n_events,
+           round(sum(value), 4) AS sum_value
+    FROM events
+    GROUP BY 1, 2
     """
 
 

@@ -21,7 +21,10 @@ from __future__ import annotations
 
 import os
 import time
+import uuid
 
+import pyarrow as pa
+import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 
 MANIFEST_SCHEMA = (
@@ -30,18 +33,53 @@ MANIFEST_SCHEMA = (
     "committed_at double"
 )
 
+# Arrow twin of MANIFEST_SCHEMA: commits are written driver-side (an atomic
+# temp-file + rename, no Spark job) — at n_partitions=1000 the previous
+# createDataFrame().coalesce(1).write per commit was a thousand serial driver
+# jobs, pure Amdahl residue in the build's critical path. The read path is
+# still a plain parquet directory scan, so the Iceberg-append analogy holds.
+_ARROW_SCHEMA = pa.schema(
+    [
+        ("run_id", pa.string()),
+        ("stage", pa.string()),
+        ("partition_id", pa.int32()),
+        ("input_fingerprint", pa.string()),
+        ("rows", pa.int64()),
+        ("bytes", pa.int64()),
+        ("wall_ms", pa.int64()),
+        ("status", pa.string()),
+        ("output_path", pa.string()),
+        ("committed_at", pa.float64()),
+    ]
+)
+
 
 def manifest_path(index_dir: str) -> str:
     return os.path.join(index_dir, "manifest")
 
 
 def append_manifest(spark: SparkSession, index_dir: str, rows: list[tuple]) -> None:
-    df = spark.createDataFrame(rows, schema=MANIFEST_SCHEMA)
-    df.coalesce(1).write.mode("append").parquet(manifest_path(index_dir))
+    path = manifest_path(index_dir)
+    os.makedirs(path, exist_ok=True)
+    cols = list(zip(*rows))
+    table = pa.table(
+        {f.name: pa.array(list(c), type=f.type) for f, c in zip(_ARROW_SCHEMA, cols)},
+        schema=_ARROW_SCHEMA,
+    )
+    final = os.path.join(path, f"commit-{uuid.uuid4().hex}.parquet")
+    tmp = final + ".tmp"
+    pq.write_table(table, tmp)
+    os.rename(tmp, final)  # atomic on POSIX: a reader never sees a torn file
 
 
 def read_manifest(spark: SparkSession, index_dir: str) -> DataFrame | None:
     path = manifest_path(index_dir)
+    # existence check first: a fresh build has no manifest, and letting the
+    # read throw spews an AnalysisException stack trace into the build log
+    if not os.path.isdir(path) or not any(
+        f.endswith(".parquet") for f in os.listdir(path)
+    ):
+        return None
     try:
         return spark.read.parquet(path)
     except Exception:

