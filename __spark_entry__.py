@@ -107,6 +107,12 @@ def q_knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _knn_edges(spark, sf_dir, k=5)
 
 
+def q_knn_edges_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geometric_aware_retrieval_v2_spark.operators.knn import knn_edges_ivf
+
+    return knn_edges_ivf(_emb(spark, sf_dir), k=5, every=50, nprobe=3)
+
+
 def q_forman_curvature(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geometric_aware_retrieval_v2_spark.operators.curvature import forman_curvature
 
@@ -590,6 +596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_wand": q_bm25_topk_wand,
         # geometric
         "knn_edges": q_knn_edges,
+        "knn_edges_ivf": q_knn_edges_ivf,
         "forman_curvature": q_forman_curvature,
         "node_curvature": q_node_curvature,
         "cosine_topk": q_cosine_topk,
@@ -644,6 +651,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": oracles.bm25_topk_sql(k=10),
         "bm25_topk_wand": oracles.bm25_topk_sql(k=10),
         "knn_edges": oracles.knn_edges_sql(k=5),
+        "knn_edges_ivf": oracles.knn_edges_ivf_sql(k=5, every=50, nprobe=3),
         "forman_curvature": oracles.forman_curvature_sql(k=5),
         "node_curvature": oracles.node_curvature_sql(k=5),
         "cosine_topk": oracles.cosine_topk_sql(k=10),

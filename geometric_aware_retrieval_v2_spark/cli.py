@@ -50,6 +50,9 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     e.add_argument("--qrels", required=True, help="parquet (qid, doc_id, rel)")
     e.add_argument("--k", type=int, default=10)
 
+    c = sub.add_parser("compact", help="physical segment compaction (background merge)")
+    c.add_argument("--index", required=True)
+
     args = p.parse_args(argv)
     if spark is None:
         spark = get_spark(app_name=f"gar2-{args.cmd}")
@@ -94,6 +97,24 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             spark.read.parquet(args.run), spark.read.parquet(args.qrels), k=args.k
         ).agg(F.avg("ndcg").alias("ndcg"), F.avg("recall").alias("recall")).collect()[0]
         print(json.dumps({"ndcg": out.ndcg, "recall": out.recall, "k": args.k}))
+    elif args.cmd == "compact":
+        # rewrite the postings table into doc-sorted non-overlapping blocks
+        # (the deferred physical merge; build_index defaults to the logical
+        # concat merge below n_partitions=32)
+        from geometric_aware_retrieval_v2_spark.operators.index import IndexMeta
+        from geometric_aware_retrieval_v2_spark.operators.postings import merge_segments
+
+        meta = IndexMeta.load(args.index)
+        compacted = merge_segments(
+            spark.read.parquet(f"{args.index}/postings"),
+            n_shards=meta.n_shards,
+            block_size=meta.block_size,
+            compact=True,
+        )
+        tmp_out = f"{args.index}/postings_compacted"
+        compacted.write.mode("overwrite").parquet(tmp_out)
+        n = spark.read.parquet(tmp_out).count()
+        print(json.dumps({"compacted_blocks": n, "output": tmp_out}))
     if owns_session:
         spark.stop()
     return 0

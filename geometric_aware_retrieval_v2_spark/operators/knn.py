@@ -152,3 +152,59 @@ def knn_edges(
         .groupBy("src", "dst")
         .agg(F.min("weight").alias("weight"))
     )
+
+
+def knn_edges_ivf(
+    emb: DataFrame,
+    k: int = 5,
+    every: int = 50,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate global k-NN graph via IVF buckets — the ANN scale path
+    for graph construction (the exact ``knn_edges`` GEMM sweep is O(n^2)
+    work even blocked). Every vector is multi-assigned to its ``nprobe``
+    nearest coarse cells; per-src top-k is searched only among co-assigned
+    vectors, so candidate fan-out is bounded by |corpus| * nprobe^2 /
+    n_cells per cell. Output contract and tie-breaks are identical to
+    ``knn_edges`` (cosine metric): (src < dst, weight = round(1-cos, 6),
+    per-src selection on (round(dist,9) asc, dst asc))."""
+    from geometric_aware_retrieval_v2_spark.operators.rerank import cosine_expr
+    from geometric_aware_retrieval_v2_spark.operators.simsearch import (
+        assign_ivf,
+        centroids_every,
+    )
+
+    cents = centroids_every(emb, every=every, id_col=id_col, vec_col=vec_col)
+    assign = assign_ivf(emb, cents, id_col=id_col, vec_col=vec_col, nprobe=nprobe)
+    cand = (
+        assign.select(F.col(id_col).alias("src"), "cell")
+        .join(assign.select(F.col(id_col).alias("dst"), "cell"), "cell")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    va = emb.select(
+        F.col(id_col).alias("src"), F.col(vec_col).cast("array<double>").alias("embedding")
+    )
+    vb = emb.select(
+        F.col(id_col).alias("dst"), F.col(vec_col).cast("array<double>").alias("qvec")
+    )
+    dist = (F.lit(1.0) - cosine_expr("embedding")).alias("dist")
+    scored = cand.join(va, "src").join(vb, "dst").select("src", "dst", dist)
+    directed = grouped_topk(
+        scored.withColumn("dist_r", F.round("dist", DIST_DECIMALS)),
+        keys=["src"],
+        order=[F.col("dist_r").asc(), F.col("dst").asc()],
+        k=k,
+    )
+    return (
+        directed.select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+            F.round("dist", WEIGHT_DECIMALS).alias("weight"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.min("weight").alias("weight"))
+    )

@@ -896,6 +896,55 @@ def embedding_neardup_sql(threshold: float = 0.4) -> str:
     """
 
 
+_IVF_ASSIGN_CTE = """
+    cents AS (
+      SELECT (vec_id / {every})::BIGINT AS cell, v AS cvec
+      FROM ({emb}) WHERE vec_id % {every} = 0
+    ),
+    assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT e.vec_id, c.cell,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY round(list_cosine_similarity(e.v, c.cvec), 9) DESC, c.cell ASC
+               ) AS rn
+        FROM ({emb}) e CROSS JOIN cents c
+      ) WHERE rn <= {nprobe}
+    )
+""".replace("{emb}", EMB)
+
+
+def knn_edges_ivf_sql(k: int = 5, every: int = 50, nprobe: int = 3) -> str:
+    """IVF-bucketed approximate kNN graph oracle — mirrors knn.knn_edges_ivf
+    (same tie-breaks and undirected dedup as the exact KNN_EDGES oracle,
+    restricted to co-assigned candidates)."""
+    assign = _IVF_ASSIGN_CTE.format(every=every, nprobe=nprobe)
+    return f"""
+    WITH {assign},
+    cand AS (
+      SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+      FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+    ),
+    scored AS (
+      SELECT c.src, c.dst, 1.0 - list_cosine_similarity(ea.v, eb.v) AS dist
+      FROM cand c
+      JOIN ({EMB}) ea ON ea.vec_id = c.src
+      JOIN ({EMB}) eb ON eb.vec_id = c.dst
+    ),
+    sel AS (
+      SELECT src, dst, dist FROM (
+        SELECT src, dst, dist,
+               row_number() OVER (PARTITION BY src ORDER BY round(dist, 9) ASC, dst ASC) AS rn
+        FROM scored
+      ) WHERE rn <= {k}
+    )
+    SELECT src, dst, min(weight) AS weight FROM (
+      SELECT least(src, dst) AS src, greatest(src, dst) AS dst, round(dist, 6) AS weight
+      FROM sel
+    ) GROUP BY src, dst
+    """
+
+
 def embedding_neardup_ivf_sql(
     threshold: float = 0.4, every: int = 50, nprobe: int = 3
 ) -> str:

@@ -181,3 +181,22 @@ def test_forman_parity(spark, engine_edges):
     assert set(got) == set(want)
     for e, kap in want.items():
         assert abs(got[e] - kap) < 2e-6, f"edge {e}: {got[e]} vs {kap}"
+
+
+def test_knn_edges_ivf_recall(spark, emb_df, engine_edges):
+    """The IVF-bucketed approximate graph must recover most of the exact
+    graph even on these cluster-free embeddings (multi-assignment nprobe=4),
+    and every approximate edge carries the exact weight (verification is
+    exact cosine)."""
+    from geometric_aware_retrieval_v2_spark.operators.knn import knn_edges_ivf
+
+    approx = {
+        (r.src, r.dst): r.weight
+        for r in knn_edges_ivf(emb_df, k=KNN_K, every=50, nprobe=4).collect()
+    }
+    exact = engine_edges
+    hit = set(approx) & set(exact)
+    recall = len(hit) / len(exact)
+    assert recall >= 0.8, f"IVF graph recall {recall:.3f}"
+    for e in hit:
+        assert abs(approx[e] - exact[e]) < 1e-9  # identical rounded weights

@@ -177,6 +177,11 @@ def test_cli_build_search_roundtrip(spark, tmp_path, capsys):
     # spark session must survive an injected-session CLI call
     assert spark.range(1).count() == 1
 
+    rc = cli.main(["compact", "--index", index], spark=spark)
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["compacted_blocks"] > 0
+
 
 # ------------------------------------------------------------------- config
 
