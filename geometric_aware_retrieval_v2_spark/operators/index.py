@@ -105,6 +105,25 @@ def build_index(
         "bp", F.pmod(F.xxhash64("doc_id"), F.lit(n_partitions)).cast("int")
     )
 
+    # bp is a COMPUTED column, so each per-partition job's filter(bp == p)
+    # re-scans the whole source — O(P x corpus) scans. Above a small P,
+    # materialize the input once partitionBy(bp) (a resumable, manifest-
+    # committed ingest stage): every job then reads only its directory
+    # (partition pruning), turning 2P full scans into 1 write + 2P pruned
+    # reads. Below the threshold the duplicate scan is cheaper than the
+    # extra write.
+    if n_partitions > 8:
+        inp = f"{index_dir}/input"
+        if -1 not in mf.completed_partitions(spark, index_dir, "ingest"):
+            t0 = time.monotonic()
+            docs.write.partitionBy("bp").mode("overwrite").parquet(inp)
+            mf.append_manifest(
+                spark, index_dir,
+                [mf.manifest_row(run_id, "ingest", -1, "source", 0, 0,
+                                 int((time.monotonic() - t0) * 1000), inp)],
+            )
+        docs = spark.read.parquet(inp)
+
     # per-partition jobs are submitted CONCURRENTLY (Spark schedules many
     # jobs in one session); each still commits its own manifest row, so
     # resume granularity is unchanged while driver-side job latencies overlap

@@ -186,3 +186,25 @@ def test_compact_merge_equals_logical_merge(spark, index_dir):
         spans.sort()
         for (a0, a1), (b0, b1) in zip(spans, spans[1:]):
             assert a1 < b0, "overlapping compacted blocks"
+
+
+def test_high_partition_build_with_ingest_stage(spark, tmp_path_factory):
+    """n_partitions > 8 triggers the partitioned-input ingest stage; the
+    resulting index must answer queries identically to the low-P build, and
+    resume must recognize the committed ingest stage."""
+    d = str(tmp_path_factory.mktemp("hp") / "idx")
+    docs = docs_from_documents(spark, SF_SMOKE)
+    build_index(spark, docs, d, n_partitions=12, n_shards=4, block_size=64)
+    assert -1 in mf.completed_partitions(spark, d, "ingest")
+    got = _collect_topk(
+        bm25_topk_indexed(spark, d, queries_df(spark), k=10, method="wand")
+    )
+    want = _collect_topk(
+        bm25.bm25_topk(tokenize_terms(docs), doc_stats(docs), queries_df(spark), k=10)
+    )
+    assert got == want
+    # idempotent resume: nothing to do on a second call, results unchanged
+    build_index(spark, docs, d, n_partitions=12, n_shards=4, block_size=64)
+    assert _collect_topk(
+        bm25_topk_indexed(spark, d, queries_df(spark), k=10, method="wand")
+    ) == want
