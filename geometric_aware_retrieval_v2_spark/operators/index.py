@@ -7,7 +7,7 @@ Layout (parquet-as-Iceberg, see plans/manifest.py):
       docstats/part=I/ (doc_id, doc_len, content_sha256) per build partition
       segments/part=I/ posting block rows per build partition
       postings/        merged consolidated block rows
-      dictionary/      (term, df) — derived from block metadata only
+      dictionary/      (term_id, df) — derived from block metadata only
       manifest/        per-partition lineage + metrics
 
 Build is checkpoint-resumable: build partitions are ``pmod(xxhash64(doc_id),
@@ -209,7 +209,9 @@ def build_index(
             tf.join(F.broadcast(dl_by_ord), "doc_id")
             .select(
                 F.col("ord").alias("doc_id"),
-                "term",
+                # postings are keyed by the 8-byte term hash; the string
+                # never enters the pack shuffle/sort/parquet (pack_postings)
+                F.xxhash64("term").alias("term_id"),
                 "tf",
                 "dl",
                 F.pmod(F.col("ord"), F.lit(n_shards)).cast("int").alias("shard"),
@@ -254,7 +256,7 @@ def build_index(
         merged.write.mode("overwrite").parquet(f"{index_dir}/postings")
         postings = spark.read.parquet(f"{index_dir}/postings")
         # dictionary + corpus stats from metadata columns only (bytes never read)
-        postings.groupBy("term").agg(F.sum("n").alias("df")).write.mode(
+        postings.groupBy("term_id").agg(F.sum("n").alias("df")).write.mode(
             "overwrite"
         ).parquet(f"{index_dir}/dictionary")
         stats = (
@@ -295,7 +297,7 @@ def _score_group_kernel(
     mdl = pdf["min_dl"].to_numpy(dtype=np.float64)
     first = pdf["first_doc"].to_numpy(dtype=np.int64)
     last = pdf["last_doc"].to_numpy(dtype=np.int64)
-    terms = pdf["term"].to_numpy()
+    terms = pdf["term_id"].to_numpy(dtype=np.int64)
     ub = idf * (mtf * (k1 + 1.0) / (mtf + k1 * (1.0 - b + b * mdl / avgdl)))
 
     cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
@@ -329,7 +331,7 @@ def _score_group_kernel(
         theta = np.partition(acc, len(acc) - k)[len(acc) - k] if len(acc) >= k else -np.inf
         if np.isfinite(theta):
             # phase 2: survival test per block
-            uterms = pd.unique(pdf["term"])
+            uterms = pd.unique(terms)
             by_term = {t: np.nonzero(terms == t)[0] for t in uterms}
             for i in range(nb):
                 bound = ub[i]
@@ -389,16 +391,20 @@ def _candidate_blocks(handle: IndexHandle, queries: DataFrame) -> DataFrame | No
     when no query term exists in the dictionary (all-OOV early exit: a
     zero-hit query must not pay the full scan/join/kernel plan).
 
-    The term IN (...) filter is pushed into the parquet scan (predicate
-    pushdown + row-group stat skipping); the bytes column is read only for
-    surviving blocks' row groups. qterms and dictionary are broadcast.
+    Query terms are hashed to term_id (the same pure xxhash64 the build
+    uses — no lookup needed); the term_id IN (...) filter is pushed into
+    the parquet scan as int min/max row-group stat skipping; the bytes
+    column is read only for surviving blocks' row groups. qterms and
+    dictionary are broadcast.
     """
-    qt = query_terms(queries)
-    qterm_list = [r.term for r in qt.select("term").distinct().collect()]
+    qt = query_terms(queries).select(
+        "qid", F.xxhash64("term").alias("term_id")
+    )
+    qterm_list = [r.term_id for r in qt.select("term_id").distinct().collect()]
     present = [
-        r.term
-        for r in handle.dictionary.filter(F.col("term").isin(qterm_list))
-        .select("term")
+        r.term_id
+        for r in handle.dictionary.filter(F.col("term_id").isin(qterm_list))
+        .select("term_id")
         .collect()
     ]
     if not present:
@@ -406,11 +412,13 @@ def _candidate_blocks(handle: IndexHandle, queries: DataFrame) -> DataFrame | No
     n = float(handle.meta.n_docs)
     idf = F.log(F.lit(1.0) + (F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5))
     return (
-        handle.postings.filter(F.col("term").isin(present))
-        .join(F.broadcast(qt), "term")
+        handle.postings.filter(F.col("term_id").isin(present))
+        .join(F.broadcast(qt), "term_id")
         .join(
-            F.broadcast(handle.dictionary.withColumn("idf", idf).select("term", "idf")),
-            "term",
+            F.broadcast(
+                handle.dictionary.withColumn("idf", idf).select("term_id", "idf")
+            ),
+            "term_id",
         )
     )
 

@@ -47,7 +47,7 @@ from geometric_aware_retrieval_v2_spark.functions.varbyte import (
 BLOCK_SIZE_DEFAULT = 128
 
 POSTINGS_SCHEMA = (
-    "term string, shard int, block_id int, first_doc long, last_doc long, "
+    "term_id long, shard int, block_id int, first_doc long, last_doc long, "
     "n int, max_tf int, min_dl int, bytes binary"
 )
 
@@ -80,34 +80,34 @@ def with_shard(tf_dl: DataFrame, n_shards: int) -> DataFrame:
 
 def _pack_partition(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
     """Vectorized whole-partition block packer. ``pdf`` holds complete
-    (term, shard) groups in any order; the partition is lexsorted HERE in
-    NumPy (factorized term codes) — ~10x cheaper than a JVM
-    sortWithinPartitions over unsafe-row strings. One varbyte pass per
-    stream for ALL blocks; per-block stats via ufunc.reduceat — no
-    per-group pandas objects, no per-block Python beyond byte slicing."""
+    (term_id, shard) groups in any order; the partition is lexsorted HERE in
+    NumPy on int64 keys — no JVM sortWithinPartitions, and since round 2 no
+    string factorize either (term strings never enter the posting pipeline;
+    see pack_postings). One varbyte pass per stream for ALL blocks;
+    per-block stats via ufunc.reduceat — no per-group pandas objects, no
+    per-block Python beyond byte slicing."""
     from geometric_aware_retrieval_v2_spark.functions.varbyte import (
         varbyte_encode_with_lengths,
     )
 
     n = len(pdf)
-    term_codes0 = pd.factorize(pdf["term"], sort=False)[0]
+    tid0 = pdf["term_id"].to_numpy(dtype=np.int64)
     order = np.lexsort(
         (
             pdf["doc_id"].to_numpy(dtype=np.int64),
             pdf["shard"].to_numpy(),
-            term_codes0,
+            tid0,
         )
     )
-    terms = pdf["term"].to_numpy()[order]
+    term_ids = tid0[order]
     shards = pdf["shard"].to_numpy()[order]
     docs = pdf["doc_id"].to_numpy(dtype=np.int64)[order]
     tfs = pdf["tf"].to_numpy(dtype=np.uint64)[order]
     dls = pdf["dl"].to_numpy(dtype=np.uint64)[order]
-    term_codes = term_codes0[order]
 
     new_group = np.empty(n, dtype=bool)
     new_group[0] = True
-    new_group[1:] = (term_codes[1:] != term_codes[:-1]) | (shards[1:] != shards[:-1])
+    new_group[1:] = (term_ids[1:] != term_ids[:-1]) | (shards[1:] != shards[:-1])
     gidx = np.cumsum(new_group) - 1
     group_start = np.nonzero(new_group)[0]
     within = np.arange(n) - group_start[gidx]
@@ -136,7 +136,7 @@ def _pack_partition(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
     ]
     return pd.DataFrame(
         {
-            "term": terms[bstart],
+            "term_id": term_ids[bstart],
             "shard": shards[bstart].astype(np.int32),
             "block_id": block_id.astype(np.int32),
             "first_doc": docs[bstart],
@@ -152,20 +152,29 @@ def _pack_partition(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
 def pack_postings(
     tf_dl: DataFrame, n_shards: int, block_size: int = BLOCK_SIZE_DEFAULT
 ) -> DataFrame:
-    """(doc_id, term, tf, dl)[ + shard] -> compressed block rows.
+    """(doc_id, term_id, tf, dl)[ + shard] -> compressed block rows.
 
-    Physical plan: ONE shuffle (repartition on the salted (term, shard) key)
-    + partition-local sort + a vectorized ``mapInPandas`` pass. Grouping via
-    repartition+sortWithinPartitions instead of groupBy().applyInPandas
-    avoids per-group Arrow/pandas overhead — with vocab-scale group counts
-    (millions of terms) per-group UDF dispatch dominates otherwise. Shuffle
-    partition sizing bounds the in-memory batch per task.
+    Postings are keyed by ``term_id = xxhash64(term)`` — an 8-byte int
+    instead of the term string. Strings never enter the posting shuffle,
+    the NumPy sort, or the postings parquet: rows are ~30% smaller through
+    the heaviest shuffle of the build, the lexsort runs on int64 keys, and
+    query-time scan pruning pushes int min/max row-group stats instead of
+    string comparisons. Collision odds are ~v^2/2^65 (~1e-7 at 5M vocab);
+    at extreme vocabularies the key widens to two hash columns — the
+    pipeline shape is unchanged.
+
+    Physical plan: ONE shuffle (repartition on the salted (term_id, shard)
+    key) + a vectorized ``mapInPandas`` pass. Grouping via repartition
+    instead of groupBy().applyInPandas avoids per-group Arrow/pandas
+    overhead — with vocab-scale group counts (millions of terms) per-group
+    UDF dispatch dominates otherwise. Shuffle partition sizing bounds the
+    in-memory batch per task.
     """
     if "shard" not in tf_dl.columns:
         tf_dl = with_shard(tf_dl, n_shards)
 
     # ONE shuffle, NO JVM sort: the kernel lexsorts in NumPy
-    df = tf_dl.repartition("term", "shard")
+    df = tf_dl.repartition("term_id", "shard")
 
     def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # buffer the partition: groups must be complete before packing
@@ -179,7 +188,7 @@ def pack_postings(
 
 
 def unpack_postings(postings: DataFrame) -> DataFrame:
-    """Inverse of pack: block rows -> (term, shard, doc_id, tf, dl).
+    """Inverse of pack: block rows -> (term_id, shard, doc_id, tf, dl).
 
     Arrow-batched (``mapInPandas``), used by segment merge and by tests for
     the lossless round-trip invariant.
@@ -199,7 +208,7 @@ def unpack_postings(postings: DataFrame) -> DataFrame:
             # ONE output frame per Arrow batch (not per block)
             yield pd.DataFrame(
                 {
-                    "term": np.repeat(pdf["term"].to_numpy(), ns),
+                    "term_id": np.repeat(pdf["term_id"].to_numpy(), ns),
                     "shard": np.repeat(pdf["shard"].to_numpy(), ns).astype(np.int32),
                     "doc_id": np.concatenate(ds),
                     "tf": np.concatenate(ts).astype(np.int64),
@@ -207,8 +216,8 @@ def unpack_postings(postings: DataFrame) -> DataFrame:
                 }
             )
 
-    return postings.select("term", "shard", "n", "bytes").mapInPandas(
-        unpack, schema="term string, shard int, doc_id long, tf long, dl long"
+    return postings.select("term_id", "shard", "n", "bytes").mapInPandas(
+        unpack, schema="term_id long, shard int, doc_id long, tf long, dl long"
     )
 
 
@@ -248,8 +257,8 @@ def merge_segments(
         # hash-cluster on (term, shard) + in-partition sort so every term's
         # blocks land contiguously in one output file — parquet row-group
         # stats then prune term-IN scans as tightly as the compacted layout
-        return segments.repartition(n_tasks, "term", "shard").sortWithinPartitions(
-            "term", "shard", "first_doc"
+        return segments.repartition(n_tasks, "term_id", "shard").sortWithinPartitions(
+            "term_id", "shard", "first_doc"
         )
     spread = segments.repartition(n_tasks)
     return pack_postings(unpack_postings(spread), n_shards=n_shards, block_size=block_size)

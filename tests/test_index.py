@@ -173,7 +173,7 @@ def test_compact_merge_equals_logical_merge(spark, index_dir):
     segments = spark.read.parquet(f"{index_dir}/segments")
     logical = merge_segments(segments, n_shards=4, block_size=64, compact=False)
     compacted = merge_segments(segments, n_shards=4, block_size=64, compact=True)
-    key = lambda r: (r.term, r.shard, r.doc_id, r.tf, r.dl)
+    key = lambda r: (r.term_id, r.shard, r.doc_id, r.tf, r.dl)
     a = sorted(map(key, unpack_postings(logical).collect()))
     b = sorted(map(key, unpack_postings(compacted).collect()))
     assert a == b
@@ -181,7 +181,7 @@ def test_compact_merge_equals_logical_merge(spark, index_dir):
     rows = compacted.collect()
     by_ts: dict = {}
     for r in rows:
-        by_ts.setdefault((r.term, r.shard), []).append((r.first_doc, r.last_doc))
+        by_ts.setdefault((r.term_id, r.shard), []).append((r.first_doc, r.last_doc))
     for spans in by_ts.values():
         spans.sort()
         for (a0, a1), (b0, b1) in zip(spans, spans[1:]):

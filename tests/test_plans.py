@@ -42,14 +42,20 @@ def _optimized(df) -> str:
 
 def test_postings_scan_prunes_terms(spark, index_dir):
     postings = spark.read.parquet(f"{index_dir}/postings")
-    q = postings.filter(F.col("term").isin(["hash", "join"]))
+    ids = [
+        r.i
+        for r in spark.createDataFrame([("hash",), ("join",)], "t string")
+        .select(F.xxhash64("t").alias("i"))
+        .collect()
+    ]
+    q = postings.filter(F.col("term_id").isin(ids))
     plan = _plan(q)
-    assert "PushedFilters" in plan and "In(term" in plan, plan
+    assert "PushedFilters" in plan and "In(term_id" in plan, plan
 
 
 def test_metadata_only_scan_skips_bytes(spark, index_dir):
     postings = spark.read.parquet(f"{index_dir}/postings")
-    q = postings.groupBy("term").agg(F.sum("n").alias("df"))
+    q = postings.groupBy("term_id").agg(F.sum("n").alias("df"))
     plan = _plan(q)
     # ReadSchema must not include the payload column
     read_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
