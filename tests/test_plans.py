@@ -78,3 +78,20 @@ def test_bm25_stays_in_codegen(spark):
     assert "isFinalPlan=true" in plan and "*(" in plan, plan
     # no Python evaluation anywhere in the lexical scoring path
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+def test_ingest_input_scan_is_partition_pruned(spark, tmp_path_factory):
+    """Above n_partitions=8 the build materializes partitionBy(bp) input;
+    a per-partition job's filter must show up as a PartitionFilter on the
+    scan (directory pruning), not a post-scan predicate over all files."""
+    from geometric_aware_retrieval_v2_spark.operators.index import build_index
+
+    d = str(tmp_path_factory.mktemp("ingestplan") / "idx")
+    build_index(
+        spark, docs_from_documents(spark, SF_SMOKE), d,
+        n_partitions=10, n_shards=2, block_size=64,
+    )
+    docs = spark.read.parquet(f"{d}/input")
+    q = docs.filter(F.col("bp") == 3)
+    plan = _plan(q)
+    part_filters = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert part_filters and "bp" in part_filters[0], plan
