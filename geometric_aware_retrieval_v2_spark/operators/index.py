@@ -281,6 +281,71 @@ def build_index(
 # ----------------------------------------------------------------- query path
 
 
+def _wand_survival(
+    terms: np.ndarray,
+    first: np.ndarray,
+    last: np.ndarray,
+    ub: np.ndarray,
+    theta: float,
+) -> np.ndarray:
+    """Vectorized WAND phase-2 survival test: keep[i] iff an upper bound on
+    any doc in block i's achievable score reaches theta.
+
+    bound[i] = ub[i] + sum over OTHER query terms t of (an upper bound on)
+    max{ub[j] : j is a block of t whose doc interval overlaps block i's}.
+
+    Per term t, blocks sorted by first_doc: every truly-overlapping j lies in
+    [lo, hi) where hi = |{first_j <= last_i}| (sorted prefix) and lo = first
+    index with cummax(last)[j] >= first_i. Within one segment a term's block
+    intervals are disjoint and sorted, so cummax(last) == last and [lo, hi)
+    is EXACTLY the overlap set; across logically-merged segments ranges may
+    interleave and [lo, hi) is a superset — max over a superset is still a
+    valid upper bound, so exactness is preserved (pruning loosens only where
+    a long early block spans past later ones). Range-max over [lo, hi) uses
+    a per-term sparse table: O(nb log nb) NumPy total, no per-block Python
+    (replaces the O(nb x terms x blocks_per_term) loop flagged at 100x
+    scale in round 2).
+    """
+    nb = len(ub)
+    bound = ub.astype(np.float64, copy=True)
+    order = np.lexsort((first, terms))
+    ts = terms[order]
+    tstart = np.nonzero(np.r_[True, ts[1:] != ts[:-1]])[0]
+    tend = np.r_[tstart[1:], nb]
+    for s, e in zip(tstart, tend):  # one iteration per QUERY TERM (tiny)
+        idx = order[s:e]
+        f_t = first[idx]
+        u_t = ub[idx]
+        cml = np.maximum.accumulate(last[idx])
+        nt = e - s
+        # sparse table: tabs[k][j] = max(u_t[j : j + 2^k])
+        tabs = [u_t]
+        k = 0
+        while (1 << (k + 1)) <= nt:
+            half = 1 << k
+            tabs.append(np.maximum(tabs[k][:-half], tabs[k][half:]))
+            k += 1
+        q = np.nonzero(terms != ts[s])[0]
+        if len(q) == 0:
+            continue
+        hi = np.searchsorted(f_t, last[q], side="right")
+        lo = np.searchsorted(cml, first[q], side="left")
+        valid = hi > lo
+        if not valid.any():
+            continue
+        lov, hiv = lo[valid], hi[valid]
+        lev = np.log2((hiv - lov).astype(np.float64)).astype(np.int64)
+        contrib = np.empty(len(lov))
+        for lv in np.unique(lev):  # <= log2(nt) gather passes
+            m = lev == lv
+            half = 1 << int(lv)
+            contrib[m] = np.maximum(tabs[lv][lov[m]], tabs[lv][hiv[m] - half])
+        upd = np.zeros(len(q))
+        upd[valid] = contrib
+        bound[q] += upd
+    return bound >= theta
+
+
 def _score_group_kernel(
     pdf: pd.DataFrame,
     k: int,
@@ -330,19 +395,8 @@ def _score_group_kernel(
         np.add.at(acc, inv, pd_scores)
         theta = np.partition(acc, len(acc) - k)[len(acc) - k] if len(acc) >= k else -np.inf
         if np.isfinite(theta):
-            # phase 2: survival test per block
-            uterms = pd.unique(terms)
-            by_term = {t: np.nonzero(terms == t)[0] for t in uterms}
-            for i in range(nb):
-                bound = ub[i]
-                for t in uterms:
-                    if t == terms[i]:
-                        continue
-                    idxs = by_term[t]
-                    ov = (first[idxs] <= last[i]) & (last[idxs] >= first[i])
-                    if ov.any():
-                        bound += ub[idxs][ov].max()
-                keep[i] = bound >= theta
+            # phase 2: vectorized per-block survival test (see _wand_survival)
+            keep = _wand_survival(terms, first, last, ub, theta)
             keep[probe] = True  # already decoded; keep their contributions
 
     dec = [decode(int(i)) for i in np.nonzero(keep)[0]]
