@@ -318,6 +318,18 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_topk_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-n_cells quantizer path (round-3 scale model): n_cells=22 at
+    sf0.01 (n=500) derives stride ceil(500/22)=23, so the oracle is the
+    stride quantizer at every=23 — the centroids_fixed == centroids_every
+    identity pinned by tests/test_simsearch_quantizer.py."""
+    from geometric_aware_retrieval_v2_spark.operators.simsearch import ivf_topk
+
+    return ivf_topk(
+        _emb(spark, sf_dir), _qvecs(spark, sf_dir), n_cells=22, nprobe=2, k=10
+    )
+
+
 # ------------------------------------------------------------- text analysis
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -616,6 +628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "embedding_neardup_ivf": q_embedding_neardup_ivf,
         "ivf_topk": q_ivf_topk,
+        "ivf_topk_fixed": q_ivf_topk_fixed,
         # text analysis
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
@@ -672,6 +685,7 @@ def oracle_sql() -> dict[str, str]:
             threshold=0.4, every=50, nprobe=4
         ),
         "ivf_topk": oracles.ivf_topk_sql(every=50, nprobe=2, k=10),
+        "ivf_topk_fixed": oracles.ivf_topk_sql(every=23, nprobe=2, k=10),
         "lang_id": oracles.lang_id_sql(),
         "quality_score": oracles.quality_score_sql(),
         "token_stats": oracles.token_stats_sql(),

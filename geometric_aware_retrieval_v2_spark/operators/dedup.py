@@ -283,10 +283,13 @@ def embedding_neardup_pairs(
 def embedding_neardup_pairs_ivf(
     emb: DataFrame,
     threshold: float = 0.95,
-    every: int = 50,
+    every: int | None = None,
     nprobe: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_cells: int | None = None,
+    quantizer: str = "stride",
+    assign_method: str = "jvm",
 ) -> DataFrame:
     """Scale path for embedding near-dup: IVF-bucketed candidate generation,
     exact cosine verification only within buckets — the vector analogue of
@@ -302,12 +305,12 @@ def embedding_neardup_pairs_ivf(
     ``embedding_neardup_pairs`` stays the small-scale oracle."""
     from geometric_aware_retrieval_v2_spark.operators.rerank import _sum_arr
     from geometric_aware_retrieval_v2_spark.operators.simsearch import (
-        assign_ivf,
-        centroids_every,
+        make_assign,
+        make_centroids,
     )
 
-    cents = centroids_every(emb, every=every, id_col=id_col, vec_col=vec_col)
-    assign = assign_ivf(emb, cents, id_col=id_col, vec_col=vec_col, nprobe=nprobe)
+    cents = make_centroids(emb, every, n_cells, quantizer, id_col, vec_col)
+    assign = make_assign(emb, cents, nprobe, assign_method, id_col, vec_col)
     cand = (
         assign.select(F.col(id_col).alias("id_a"), "cell")
         .join(assign.select(F.col(id_col).alias("id_b"), "cell"), "cell")

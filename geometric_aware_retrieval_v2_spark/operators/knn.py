@@ -157,10 +157,13 @@ def knn_edges(
 def knn_edges_ivf(
     emb: DataFrame,
     k: int = 5,
-    every: int = 50,
+    every: int | None = None,
     nprobe: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_cells: int | None = None,
+    quantizer: str = "stride",
+    assign_method: str = "jvm",
 ) -> DataFrame:
     """Approximate global k-NN graph via IVF buckets — the ANN scale path
     for graph construction (the exact ``knn_edges`` GEMM sweep is O(n^2)
@@ -172,12 +175,12 @@ def knn_edges_ivf(
     per-src selection on (round(dist,9) asc, dst asc))."""
     from geometric_aware_retrieval_v2_spark.operators.rerank import cosine_expr
     from geometric_aware_retrieval_v2_spark.operators.simsearch import (
-        assign_ivf,
-        centroids_every,
+        make_assign,
+        make_centroids,
     )
 
-    cents = centroids_every(emb, every=every, id_col=id_col, vec_col=vec_col)
-    assign = assign_ivf(emb, cents, id_col=id_col, vec_col=vec_col, nprobe=nprobe)
+    cents = make_centroids(emb, every, n_cells, quantizer, id_col, vec_col)
+    assign = make_assign(emb, cents, nprobe, assign_method, id_col, vec_col)
     cand = (
         assign.select(F.col(id_col).alias("src"), "cell")
         .join(assign.select(F.col(id_col).alias("dst"), "cell"), "cell")
