@@ -100,21 +100,65 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     elif args.cmd == "compact":
         # rewrite the postings table into doc-sorted non-overlapping blocks
         # (the deferred physical merge; build_index defaults to the logical
-        # concat merge below n_partitions=32)
+        # concat merge below n_partitions=32), then SWAP it in atomically:
+        # write -> validate posting count -> rename, and rebuild the
+        # dictionary from the new blocks so queries read the compacted
+        # layout immediately
+        import os
+        import uuid
+
+        from pyspark.sql import functions as F2
+
         from geometric_aware_retrieval_v2_spark.operators.index import IndexMeta
         from geometric_aware_retrieval_v2_spark.operators.postings import merge_segments
+        from geometric_aware_retrieval_v2_spark.plans.manifest import is_local_path
 
         meta = IndexMeta.load(args.index)
+        old_path = f"{args.index}/postings"
+        tmp_out = f"{args.index}/postings_compacted"
         compacted = merge_segments(
-            spark.read.parquet(f"{args.index}/postings"),
+            spark.read.parquet(old_path),
             n_shards=meta.n_shards,
             block_size=meta.block_size,
             compact=True,
         )
-        tmp_out = f"{args.index}/postings_compacted"
         compacted.write.mode("overwrite").parquet(tmp_out)
-        n = spark.read.parquet(tmp_out).count()
-        print(json.dumps({"compacted_blocks": n, "output": tmp_out}))
+        n_old = spark.read.parquet(old_path).agg(F2.sum("n")).collect()[0][0]
+        n_new = spark.read.parquet(tmp_out).agg(F2.sum("n")).collect()[0][0]
+        if n_new != n_old:
+            raise RuntimeError(
+                f"compaction lost postings: {n_old} -> {n_new}; not swapping"
+            )
+        swapped = False
+        if is_local_path(args.index):
+            retired = f"{args.index}/postings_retired_{uuid.uuid4().hex[:8]}"
+            os.rename(old_path, retired)
+            os.rename(tmp_out, old_path)
+            # dictionary df = sum(n) per term is invariant under repack, but
+            # rebuild it from the live blocks so the pair never diverges
+            dict_tmp = f"{args.index}/dictionary_new_{uuid.uuid4().hex[:8]}"
+            spark.read.parquet(old_path).groupBy("term_id").agg(
+                F2.sum("n").alias("df")
+            ).write.mode("overwrite").parquet(dict_tmp)
+            dict_retired = f"{args.index}/dictionary_retired_{uuid.uuid4().hex[:8]}"
+            os.rename(f"{args.index}/dictionary", dict_retired)
+            os.rename(dict_tmp, f"{args.index}/dictionary")
+            import shutil as _sh
+
+            _sh.rmtree(retired, ignore_errors=True)
+            _sh.rmtree(dict_retired, ignore_errors=True)
+            swapped = True
+        n = spark.read.parquet(old_path if swapped else tmp_out).count()
+        print(
+            json.dumps(
+                {
+                    "compacted_blocks": n,
+                    "postings": n_new,
+                    "swapped": swapped,
+                    "output": old_path if swapped else tmp_out,
+                }
+            )
+        )
     if owns_session:
         spark.stop()
     return 0

@@ -82,6 +82,19 @@ class IndexMeta:
             return IndexMeta(**json.load(f))
 
 
+def _check_vocab(n_terms: int, n_term_ids: int) -> None:
+    """Build-time integrity gate on the 8-byte term_id keying: an xxhash64
+    collision silently merges two terms' posting lists and inflates df/BM25
+    for both, so the merge stage fails the build instead. (Widening to a
+    two-hash-column key is the design escape hatch if a real corpus ever
+    trips this — odds ~v^2/2^65; see operators/postings.py.)"""
+    if n_terms != n_term_ids:
+        raise RuntimeError(
+            f"term_id hash collision detected: {n_terms} distinct terms map to "
+            f"{n_term_ids} distinct term_ids. Rebuild with a widened term key."
+        )
+
+
 def build_index(
     spark: SparkSession,
     docs: DataFrame,
@@ -91,16 +104,55 @@ def build_index(
     block_size: int = 128,
     tokenizer_mode: str = "ws",
     run_id: str = "run-0",
+    verify_vocab: bool = True,
 ) -> IndexMeta:
     """Resumable build. ``docs`` must have (doc_id, content).
 
     Stages (each manifest-committed, resume skips completed ones):
+      params       build parameters pinned (resume with different parameters
+                   RAISES: completed docstats/ingest/segments artifacts are
+                   keyed by pmod(xxhash64(doc_id), n_partitions), so resuming
+                   under a different partitioning would silently drop or
+                   duplicate documents)
       docstats[p]  per-partition doc_len + content_sha256
       docmap       dense ordinal assignment over all docstats (ordinals.py)
       segments[p]  tokenized triples joined to ordinals, packed into blocks
-      merge        consolidated postings + dictionary + meta
+      merge        consolidated postings + dictionary + meta (+ vocab
+                   integrity gate, see _check_vocab)
     """
+    from geometric_aware_retrieval_v2_spark.config import IndexConfig
+
+    IndexConfig(  # the reference's validation contract gates the entry point
+        n_partitions=n_partitions,
+        n_shards=n_shards,
+        block_size=block_size,
+        tokenizer_mode=tokenizer_mode,
+    )
     os.makedirs(index_dir, exist_ok=True)
+
+    params_fp = json.dumps(
+        {
+            "n_partitions": n_partitions,
+            "n_shards": n_shards,
+            "block_size": block_size,
+            "tokenizer_mode": tokenizer_mode,
+        },
+        sort_keys=True,
+    )
+    committed_params = mf.completed_partitions(spark, index_dir, "params")
+    if -1 in committed_params:
+        if committed_params[-1] != params_fp:
+            raise ValueError(
+                f"index_dir {index_dir} holds a build started with parameters "
+                f"{committed_params[-1]}; resuming with {params_fp} would corrupt "
+                "the partition-keyed artifacts. Delete the index_dir or match "
+                "the original parameters."
+            )
+    else:
+        mf.append_manifest(
+            spark, index_dir,
+            [mf.manifest_row(run_id, "params", -1, params_fp, 0, 0, 0, index_dir)],
+        )
     docs = docs.select("doc_id", "content").withColumn(
         "bp", F.pmod(F.xxhash64("doc_id"), F.lit(n_partitions)).cast("int")
     )
@@ -259,6 +311,14 @@ def build_index(
         postings.groupBy("term_id").agg(F.sum("n").alias("df")).write.mode(
             "overwrite"
         ).parquet(f"{index_dir}/dictionary")
+        if verify_vocab:
+            # the tf projection still carries the term STRINGS (postings
+            # dropped them at segment time), so the collision gate is one
+            # distinct-count over tf vs the dictionary's term_id count
+            n_terms = (
+                spark.read.parquet(f"{index_dir}/tf").select("term").distinct().count()
+            )
+            _check_vocab(n_terms, spark.read.parquet(f"{index_dir}/dictionary").count())
         stats = (
             spark.read.parquet(f"{index_dir}/docstats")
             .agg(F.count(F.lit(1)).alias("n"), F.avg(F.col("doc_len").cast("double")).alias("a"))

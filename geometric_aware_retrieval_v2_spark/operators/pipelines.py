@@ -46,6 +46,10 @@ def bm25_geodesic(
 ) -> DataFrame:
     """Flagship: exhaustive BM25 top-search_k -> geodesic Strategy C rerank.
     -> (qid, doc_id, bm25, geo_dist, rank)."""
+    from geometric_aware_retrieval_v2_spark.config import GeoConfig
+
+    # the reference's config contract gates the geometric-stage entry point
+    GeoConfig(k_graph=knn_k, geodesic=True)
     hits = bm25.bm25_topk(
         tokenize_terms(docs), doc_stats(docs), queries, k=search_k
     )

@@ -159,9 +159,12 @@ def pack_postings(
     the NumPy sort, or the postings parquet: rows are ~30% smaller through
     the heaviest shuffle of the build, the lexsort runs on int64 keys, and
     query-time scan pruning pushes int min/max row-group stats instead of
-    string comparisons. Collision odds are ~v^2/2^65 (~1e-7 at 5M vocab);
-    at extreme vocabularies the key widens to two hash columns — the
-    pipeline shape is unchanged.
+    string comparisons. Collision odds are ~v^2/2^65 (~1e-7 at 5M vocab),
+    and the build VERIFIES this: the merge stage compares countDistinct(term)
+    against the dictionary's term_id count and fails the build on any
+    collision (index._check_vocab). Design note: if a corpus ever trips the
+    gate, the key widens to two hash columns with the pipeline shape
+    unchanged — a config change, not implemented until needed.
 
     Physical plan: ONE shuffle (repartition on the salted (term_id, shard)
     key) + a vectorized ``mapInPandas`` pass. Grouping via repartition

@@ -55,11 +55,36 @@ _ARROW_SCHEMA = pa.schema(
 
 
 def manifest_path(index_dir: str) -> str:
-    return os.path.join(index_dir, "manifest")
+    if is_local_path(index_dir):
+        return os.path.join(index_dir, "manifest")
+    return index_dir.rstrip("/") + "/manifest"
+
+
+def is_local_path(path: str) -> bool:
+    """True when the path is driver-local-filesystem addressable. An
+    index_dir on HDFS/S3/ABFS ('scheme://...') must NOT go through the
+    os.rename fast commit — those writes route through Spark so the
+    resumable-build contract holds on any Hadoop-compatible filesystem."""
+    if "://" not in path:
+        return True
+    return path.split("://", 1)[0] == "file"
+
+
+def _strip_file_scheme(path: str) -> str:
+    return path[len("file://"):] if path.startswith("file://") else path
 
 
 def append_manifest(spark: SparkSession, index_dir: str, rows: list[tuple]) -> None:
     path = manifest_path(index_dir)
+    if not is_local_path(path):
+        # remote filesystem: commit through a Spark job (the pre-round-2
+        # path) — slower per commit, but correct on HDFS/S3/ABFS where the
+        # driver's POSIX rename cannot reach
+        spark.createDataFrame(rows, schema=MANIFEST_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+        return
+    path = _strip_file_scheme(path)
     os.makedirs(path, exist_ok=True)
     cols = list(zip(*rows))
     table = pa.table(
@@ -74,12 +99,15 @@ def append_manifest(spark: SparkSession, index_dir: str, rows: list[tuple]) -> N
 
 def read_manifest(spark: SparkSession, index_dir: str) -> DataFrame | None:
     path = manifest_path(index_dir)
-    # existence check first: a fresh build has no manifest, and letting the
-    # read throw spews an AnalysisException stack trace into the build log
-    if not os.path.isdir(path) or not any(
-        f.endswith(".parquet") for f in os.listdir(path)
-    ):
-        return None
+    # existence check first (local only): a fresh build has no manifest, and
+    # letting the read throw spews an AnalysisException stack trace into the
+    # build log; on remote filesystems the try/except does the probing
+    if is_local_path(path):
+        local = _strip_file_scheme(path)
+        if not os.path.isdir(local) or not any(
+            f.endswith(".parquet") for f in os.listdir(local)
+        ):
+            return None
     try:
         return spark.read.parquet(path)
     except Exception:

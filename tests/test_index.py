@@ -129,13 +129,15 @@ def _build_partial(spark, docs, index_dir):
     orig = mf.append_manifest
 
     def crashing(spark_, dir_, rows):
+        # commit 1 is the params row; commits 2-3 are docstats partitions,
+        # then the "machine dies" — leaving exactly 2 committed partitions
         with lock:
             calls["n"] += 1
             n = calls["n"]
-        if n > 2:  # the "machine is dead" after the second commit
+        if n > 3:
             raise RuntimeError("simulated crash")
         orig(spark_, dir_, rows)
-        if n == 2:
+        if n == 3:
             raise RuntimeError("simulated crash")
 
     mf_append = mf.append_manifest
@@ -186,6 +188,69 @@ def test_compact_merge_equals_logical_merge(spark, index_dir):
         spans.sort()
         for (a0, a1), (b0, b1) in zip(spans, spans[1:]):
             assert a1 < b0, "overlapping compacted blocks"
+
+
+def test_resume_with_different_params_raises(spark, index_dir, tmp_path):
+    """Completed artifacts are keyed by pmod(xxhash64(doc_id), n_partitions);
+    resuming under different parameters must refuse instead of silently
+    dropping the documents whose stale bp falls outside the new loop."""
+    docs = docs_from_documents(spark, SF_SMOKE)
+    with pytest.raises(ValueError, match="parameters"):
+        build_index(spark, docs, index_dir, n_partitions=2, n_shards=4, block_size=64)
+    with pytest.raises(ValueError, match="parameters"):
+        build_index(spark, docs, index_dir, n_partitions=4, n_shards=4, block_size=32)
+    # same params: still a clean idempotent resume
+    build_index(spark, docs, index_dir, n_partitions=4, n_shards=4, block_size=64)
+
+
+def test_invalid_build_params_rejected(spark, tmp_path):
+    docs = docs_from_documents(spark, SF_SMOKE)
+    with pytest.raises(ValueError):
+        build_index(spark, docs, str(tmp_path / "bad1"), n_partitions=0)
+    with pytest.raises(ValueError):
+        build_index(spark, docs, str(tmp_path / "bad2"), block_size=4)
+    with pytest.raises(ValueError):
+        build_index(spark, docs, str(tmp_path / "bad3"), tokenizer_mode="nope")
+
+
+def test_vocab_collision_gate():
+    from geometric_aware_retrieval_v2_spark.operators.index import _check_vocab
+
+    _check_vocab(100, 100)  # clean vocabulary passes
+    with pytest.raises(RuntimeError, match="collision"):
+        _check_vocab(100, 99)
+
+
+def test_manifest_on_schemed_path(spark, tmp_path):
+    """A 'file://'-schemed index_dir exercises the non-POSIX commit path
+    (Spark-job append) that an HDFS/S3 index_dir would take; resume
+    bookkeeping must behave identically."""
+    d = "file://" + str(tmp_path / "remote_idx")
+    assert not mf.is_local_path("hdfs://nn/idx") and not mf.is_local_path("s3a://b/idx")
+    assert mf.is_local_path(str(tmp_path)) and mf.is_local_path(d)
+    # file:// IS local-addressable; force the Spark commit path via a fake
+    # scheme check by calling append on an hdfs-shaped path is not possible
+    # in-sandbox, so pin the dispatch decision itself plus the local round
+    # trip through the schemed path
+    mf.append_manifest(spark, d, [mf.manifest_row("r", "docstats", 3, "fp", 1, 0, 1, d)])
+    got = mf.completed_partitions(spark, d, "docstats")
+    assert got == {3: "fp"}
+
+
+def test_manifest_spark_commit_path(spark, tmp_path, monkeypatch):
+    """Force the non-local dispatch (what hdfs://... would take): commits
+    route through a Spark append job, reads probe via spark.read — the
+    driver-POSIX fast path must never be touched."""
+    import os
+
+    d = str(tmp_path / "rmt")
+    monkeypatch.setattr(mf, "is_local_path", lambda p: False)
+    monkeypatch.setattr(mf.os, "rename", lambda *a: (_ for _ in ()).throw(AssertionError("POSIX path used")))
+    # fresh dir: read path must return empty without raising
+    assert mf.completed_partitions(spark, d, "docstats") == {}
+    mf.append_manifest(spark, d, [mf.manifest_row("r", "segments", 7, "fp7", 1, 0, 1, d)])
+    mf.append_manifest(spark, d, [mf.manifest_row("r", "segments", 8, "fp8", 1, 0, 1, d)])
+    assert mf.completed_partitions(spark, d, "segments") == {7: "fp7", 8: "fp8"}
 
 
 def test_high_partition_build_with_ingest_stage(spark, tmp_path_factory):

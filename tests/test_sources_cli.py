@@ -181,6 +181,20 @@ def test_cli_build_search_roundtrip(spark, tmp_path, capsys):
     assert rc == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["compacted_blocks"] > 0
+    # the swap must take hold: queries now read the COMPACTED postings and
+    # the rebuilt dictionary, and return identical results
+    assert out["swapped"] is True
+    assert out["output"] == f"{index}/postings"
+    import os
+
+    assert not os.path.isdir(f"{index}/postings_compacted")
+    rc = cli.main(
+        ["search", "--index", index, "--query", "man riding horse", "--k", "3"],
+        spark=spark,
+    )
+    assert rc == 0
+    hits2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert hits2 == hits
 
 
 # ------------------------------------------------------------------- config
