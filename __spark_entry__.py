@@ -42,6 +42,27 @@ def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_stats(_docs(spark, sf_dir))
 
 
+def q_tokenize_code2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identifier-splitting tokenizer v2 (SURVEY §2b B1): the documents text
+    (plain lowercase words) is deterministically recast per doc as one
+    camelCase identifier + one snake_case identifier over its first 5 words;
+    code2 tokenization must split both back into the word subtokens. The
+    oracle mirrors the construction and the two boundary regexes in SQL."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.slice(F.split(F.col("text"), " "), 1, 5).alias("ws")
+    )
+    camel = F.concat_ws(
+        "",
+        F.transform(
+            F.col("ws"),
+            lambda w: F.concat(F.upper(F.substring(w, 1, 1)), F.substring(w, 2, 10000)),
+        ),
+    )
+    snake = F.concat_ws("_", F.col("ws"))
+    docs = d.select("doc_id", F.concat_ws(" ", camel, snake).alias("content"))
+    return tokenize_terms(docs, mode="code2")
+
+
 def q_term_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25.term_stats(tokenize_terms(_docs(spark, sf_dir)))
 
@@ -601,6 +622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # lexical / index
         "tokenize_tf": q_tokenize_tf,
+        "tokenize_code2": q_tokenize_code2,
         "doc_stats": q_doc_stats,
         "term_df": q_term_df,
         "corpus_stats": q_corpus_stats,
@@ -658,6 +680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "tokenize_tf": oracles.tokenize_tf_sql(),
+        "tokenize_code2": oracles.tokenize_code2_sql(),
         "doc_stats": oracles.doc_stats_sql(),
         "term_df": oracles.term_df_sql(),
         "corpus_stats": oracles.corpus_stats_sql(),

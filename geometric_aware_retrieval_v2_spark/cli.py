@@ -33,7 +33,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     b.add_argument("--index", required=True)
     b.add_argument("--partitions", type=int, default=8)
     b.add_argument("--shards", type=int, default=8)
-    b.add_argument("--tokenizer", default="code", choices=["ws", "code"])
+    b.add_argument("--tokenizer", default="code", choices=["ws", "code", "code2"])
 
     s = sub.add_parser("search")
     s.add_argument("--index", required=True)

@@ -63,7 +63,7 @@ class IndexConfig:
             raise ValueError("n_partitions and n_shards must be >= 1")
         if self.block_size < 8:
             raise ValueError("block_size must be >= 8 (block-max bounds degenerate)")
-        if self.tokenizer_mode not in {"ws", "code"}:
+        if self.tokenizer_mode not in {"ws", "code", "code2"}:
             raise ValueError(f"unknown tokenizer mode: {self.tokenizer_mode}")
 
 

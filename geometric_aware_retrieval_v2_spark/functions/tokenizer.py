@@ -14,9 +14,15 @@ Two implementations with identical output (tests assert agreement):
    format by counting within the batch.
 
 Tokenizer modes:
-  * ``ws``   — whitespace terms (matches the oracle SQL ``string_split``).
-  * ``code`` — identifier/number tokens ``[A-Za-z_][A-Za-z0-9_]*|[0-9]+``,
+  * ``ws``    — whitespace terms (matches the oracle SQL ``string_split``).
+  * ``code``  — identifier/number tokens ``[A-Za-z_][A-Za-z0-9_]*|[0-9]+``,
     lowercased, for the source-code corpus.
+  * ``code2`` — ``code`` plus identifier splitting (SURVEY §2b B1's v2):
+    camelCase boundaries (``parseHTTPServer`` -> parse http server) and
+    snake_case underscores (``my_var2`` -> my var2) become token breaks
+    BEFORE extraction. Pure JVM regexp_replace chain — still zero Python in
+    the hot path — and bit-reproducible in the DuckDB oracle with the same
+    two boundary patterns.
 """
 
 from __future__ import annotations
@@ -24,18 +30,34 @@ from __future__ import annotations
 from typing import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 CODE_TOKEN_RE = r"[A-Za-z_][A-Za-z0-9_]*|[0-9]+"
+# lower/digit->Upper boundary, then ACRONYMWord ("HTTPServer" -> "HTTP Server")
+CAMEL_BOUNDARY_1 = r"([a-z0-9])([A-Z])"
+CAMEL_BOUNDARY_2 = r"([A-Z]+)([A-Z][a-z])"
+
+TOKENIZER_MODES = ("ws", "code", "code2")
+
+
+def boundary_split_col(content: Column) -> Column:
+    """Insert spaces at camelCase boundaries and replace underscores, so the
+    plain ``code`` extraction then yields subtokens."""
+    c = F.regexp_replace(content, CAMEL_BOUNDARY_1, r"$1 $2")
+    c = F.regexp_replace(c, CAMEL_BOUNDARY_2, r"$1 $2")
+    return F.regexp_replace(c, "_", " ")
 
 
 def _terms_col(content_col: str, mode: str):
     if mode == "ws":
         return F.filter(F.split(F.col(content_col), r"\s+"), lambda x: x != "")
-    if mode == "code":
+    if mode in ("code", "code2"):
+        src = F.col(content_col)
+        if mode == "code2":
+            src = boundary_split_col(src)
         return F.transform(
-            F.regexp_extract_all(F.col(content_col), F.lit(CODE_TOKEN_RE), 0),
+            F.regexp_extract_all(src, F.lit(CODE_TOKEN_RE), 0),
             lambda x: F.lower(x),
         )
     raise ValueError(f"unknown tokenizer mode: {mode}")
@@ -60,14 +82,24 @@ def tokenize_terms_arrow(
     calls; one Python invocation per Arrow batch)."""
     import re
 
-    pat = re.compile(CODE_TOKEN_RE) if mode == "code" else None
+    if mode not in TOKENIZER_MODES:
+        raise ValueError(f"unknown tokenizer mode: {mode}")
+    pat = re.compile(CODE_TOKEN_RE) if mode in ("code", "code2") else None
+    split_idents = mode == "code2"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if pat is None:
                 toks = pdf[content_col].str.split()
             else:
-                toks = pdf[content_col].str.lower().str.findall(pat)
+                s = pdf[content_col]
+                if split_idents:
+                    s = (
+                        s.str.replace(CAMEL_BOUNDARY_1, r"\1 \2", regex=True)
+                        .str.replace(CAMEL_BOUNDARY_2, r"\1 \2", regex=True)
+                        .str.replace("_", " ", regex=False)
+                    )
+                toks = s.str.lower().str.findall(pat)
             flat = pd.DataFrame(
                 {"doc_id": pdf["doc_id"].repeat(toks.str.len()).to_numpy(),
                  "term": [t for lst in toks for t in lst]}

@@ -33,6 +33,40 @@ def tokenize_tf_sql() -> str:
     return TF
 
 
+def tokenize_code2_sql() -> str:
+    """code2 tokenizer gate: camelCase + snake_case identifiers built from
+    each doc's first 5 words, split back by the same two boundary regexes
+    the engine uses (functions/tokenizer.py CAMEL_BOUNDARY_1/2)."""
+    return r"""
+    WITH src AS (
+      SELECT doc_id, list_slice(string_split(text, ' '), 1, 5) AS ws FROM documents
+    ),
+    ident AS (
+      SELECT doc_id,
+             list_aggregate(list_transform(ws, w -> upper(w[1]) || w[2:]),
+                            'string_agg', '') AS camel,
+             array_to_string(ws, '_') AS snake
+      FROM src
+    ),
+    norm AS (
+      SELECT doc_id,
+             replace(
+               regexp_replace(
+                 regexp_replace(camel || ' ' || snake,
+                                '([a-z0-9])([A-Z])', '\1 \2', 'g'),
+                 '([A-Z]+)([A-Z][a-z])', '\1 \2', 'g'),
+               '_', ' ') AS c
+      FROM ident
+    ),
+    toks AS (
+      SELECT doc_id,
+             lower(unnest(regexp_extract_all(c, '[A-Za-z_][A-Za-z0-9_]*|[0-9]+'))) AS term
+      FROM norm
+    )
+    SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+    """
+
+
 def doc_stats_sql() -> str:
     return f"""
     SELECT d.doc_id, coalesce(dl.doc_len, 0) AS doc_len, sha256(d.text) AS content_sha256
