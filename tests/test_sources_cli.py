@@ -197,6 +197,47 @@ def test_cli_build_search_roundtrip(spark, tmp_path, capsys):
     assert hits2 == hits
 
 
+def test_cli_audit(spark, tmp_path, capsys):
+    """audit: embeddings parquet -> kNN graph -> Forman curvature summary."""
+    from geometric_aware_retrieval_v2_spark import cli
+    from geometric_aware_retrieval_v2_spark.sources.tables import load_table
+
+    emb_path = str(tmp_path / "emb.parquet")
+    load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    ).write.parquet(emb_path)
+    rc = cli.main(["audit", "--embeddings", emb_path, "--k", "5"], spark=spark)
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert set(out) == {"mean_kappa", "min_kappa", "max_kappa"}
+    assert out["min_kappa"] <= out["mean_kappa"] <= out["max_kappa"]
+
+
+def test_cli_eval(spark, tmp_path, capsys):
+    """eval: run + qrels parquet -> mean nDCG/recall@k."""
+    from geometric_aware_retrieval_v2_spark import cli
+
+    run = spark.createDataFrame(
+        [(0, d, 10.0 - d) for d in range(5)] + [(1, d, 5.0 - d) for d in range(3)],
+        schema="qid long, doc_id long, score double",
+    )
+    qrels = spark.createDataFrame(
+        [(0, 0, 1), (0, 3, 1), (1, 9, 1)], schema="qid long, doc_id long, rel int"
+    )
+    run_path, qrels_path = str(tmp_path / "run.parquet"), str(tmp_path / "qrels.parquet")
+    run.write.parquet(run_path)
+    qrels.write.parquet(qrels_path)
+    rc = cli.main(
+        ["eval", "--run", run_path, "--qrels", qrels_path, "--k", "5"], spark=spark
+    )
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["k"] == 5
+    # qid 0 found both rels (recall 1, ndcg > 0); qid 1 found none
+    assert 0.0 < out["ndcg"] < 1.0
+    assert out["recall"] == 0.5
+
+
 # ------------------------------------------------------------------- config
 
 def test_config_validation():
