@@ -203,16 +203,22 @@ def run_scaling(sf_dir: str) -> None:
 
     calib = min(cpu_control() for _ in range(3))
     controls: list[float] = []
+    gate_failures = 0
 
     def wait_for_quiet() -> float:
         """Gate each leg on the CPU control: in a degraded phase (control
         > 1.35x calibration) wait and re-probe rather than record a leg the
-        noise will dominate (round-2 session B failed exactly this way)."""
-        for _ in range(10):
+        noise will dominate (round-2 session B failed exactly this way).
+        Never fails open silently: if 15 min of probing finds no quiet
+        window the leg runs anyway but the session is MARKED degraded in
+        the report (gate_failures)."""
+        nonlocal gate_failures
+        for _ in range(45):
             c = cpu_control()
             if c <= 1.35 * calib:
                 return c
             time.sleep(20)
+        gate_failures += 1
         return c
 
     legs: dict[int, list[dict]] = {lo: [], hi: []}
@@ -220,6 +226,8 @@ def run_scaling(sf_dir: str) -> None:
     # instead of biasing whichever level ran later
     for _ in range(n_legs):
         for cpus in (lo, hi):
+            time.sleep(15)  # settle: let the previous leg's JVM exit, temp
+            # cleanup, and page-cache churn drain before probing quietness
             controls.append(wait_for_quiet())
             env = dict(
                 os.environ,
@@ -258,9 +266,16 @@ def run_scaling(sf_dir: str) -> None:
             f"cannot spill past the nominal core count; per-query times are "
             f"median-of-3 within a leg. Every leg was gated on a fixed "
             f"single-thread CPU control (calibration {calib:.3f}s; per-leg "
-            f"controls {[round(c, 3) for c in controls]} — a leg only starts "
-            f"when the control is within 1.35x calibration, so no leg ran in a "
-            f"degraded VM phase).\n\n"
+            f"controls {[round(c, 3) for c in controls]}; "
+            + (
+                "every leg started inside a quiet window (control within 1.35x "
+                "calibration)"
+                if gate_failures == 0
+                else f"WARNING: {gate_failures} leg(s) started after 15 min of "
+                "probing found no quiet window — treat this session as "
+                "noise-contaminated"
+            )
+            + ").\n\n"
             "| parallelism | build files/sec (median) | build sec | WAND query p50 (s) | batched 20q, per-query (s) | all legs files/sec |\n"
             "|---|---|---|---|---|---|\n"
             f"| local[{lo}] pinned to {lo} CPUs | {tp_lo} | {r_lo['build_sec']} | {q_lo} | "

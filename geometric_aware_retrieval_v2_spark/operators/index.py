@@ -247,7 +247,11 @@ def build_index(
             ],
         )
 
-    dl_by_ord = spark.read.parquet(f"{index_dir}/docmap").select("doc_id", "ord", "dl")
+    # cached once: every segment job broadcasts this table, and without the
+    # cache each job re-scans the docmap parquet to build its broadcast
+    dl_by_ord = (
+        spark.read.parquet(f"{index_dir}/docmap").select("doc_id", "ord", "dl").cache()
+    )
 
     def _segments_job(p: int) -> None:
         t0 = time.monotonic()
@@ -292,6 +296,7 @@ def build_index(
     if todo:
         with ThreadPoolExecutor(max_workers=min(4, len(todo))) as ex:
             list(ex.map(_segments_job, todo))
+    dl_by_ord.unpersist()
 
     if -1 not in mf.completed_partitions(spark, index_dir, "merge"):
         t0 = time.monotonic()
@@ -305,25 +310,52 @@ def build_index(
             block_size=block_size,
             compact=n_partitions > 32,
         )
-        merged.write.mode("overwrite").parquet(f"{index_dir}/postings")
-        postings = spark.read.parquet(f"{index_dir}/postings")
-        # dictionary + corpus stats from metadata columns only (bytes never read)
-        postings.groupBy("term_id").agg(F.sum("n").alias("df")).write.mode(
-            "overwrite"
-        ).parquet(f"{index_dir}/dictionary")
-        if verify_vocab:
+
+        # the four merge products are mutually independent, so their jobs run
+        # CONCURRENTLY (Amdahl residue: serializing them costs fixed driver/
+        # scheduling seconds that do not shrink with cluster size). The
+        # dictionary derives from the SEGMENTS metadata — the merge is a 1:1
+        # repartition of the same block rows (compact=True repack also
+        # preserves per-term posting counts), so sum(n) per term_id is
+        # identical to deriving it from the written postings.
+        def _write_postings() -> None:
+            merged.write.mode("overwrite").parquet(f"{index_dir}/postings")
+
+        def _write_dictionary() -> None:
+            segments.groupBy("term_id").agg(F.sum("n").alias("df")).write.mode(
+                "overwrite"
+            ).parquet(f"{index_dir}/dictionary")
+
+        def _vocab_n_terms() -> int:
             # the tf projection still carries the term STRINGS (postings
             # dropped them at segment time), so the collision gate is one
             # distinct-count over tf vs the dictionary's term_id count
-            n_terms = (
+            return (
                 spark.read.parquet(f"{index_dir}/tf").select("term").distinct().count()
             )
-            _check_vocab(n_terms, spark.read.parquet(f"{index_dir}/dictionary").count())
-        stats = (
-            spark.read.parquet(f"{index_dir}/docstats")
-            .agg(F.count(F.lit(1)).alias("n"), F.avg(F.col("doc_len").cast("double")).alias("a"))
-            .collect()[0]
-        )
+
+        def _corpus_stats():
+            return (
+                spark.read.parquet(f"{index_dir}/docstats")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.avg(F.col("doc_len").cast("double")).alias("a"),
+                )
+                .collect()[0]
+            )
+
+        with ThreadPoolExecutor(max_workers=4) as ex:
+            f_post = ex.submit(_write_postings)
+            f_dict = ex.submit(_write_dictionary)
+            f_vocab = ex.submit(_vocab_n_terms) if verify_vocab else None
+            f_stats = ex.submit(_corpus_stats)
+            f_post.result()
+            f_dict.result()
+            stats = f_stats.result()
+            if f_vocab is not None:
+                _check_vocab(
+                    f_vocab.result(), spark.read.parquet(f"{index_dir}/dictionary").count()
+                )
         IndexMeta(int(stats.n), float(stats.a), n_shards, block_size, tokenizer_mode).save(index_dir)
         mf.append_manifest(
             spark,
