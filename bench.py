@@ -190,45 +190,52 @@ def run_scaling(sf_dir: str) -> None:
 
     def cpu_control() -> float:
         """Fixed single-thread NumPy workload (sort-dominated, no BLAS
-        threading): identical work every call, so elapsed time is a pure
-        probe of co-tenant VM noise."""
+        threading): identical work every call. A WARMED probe: the first
+        sort after fresh 32 MB allocations pays this VM's page-fault-phase
+        tax (observed 23 s vs 0.4 s steady-state), which is allocator churn,
+        not co-tenant noise — so one untimed warmup pass runs first and the
+        steady-state pass is what's measured."""
         import numpy as np
 
         a = np.random.default_rng(0).standard_normal(4_000_000)
+        for _ in range(2):  # warmup: fault pages in, settle the allocator
+            a = np.sort(a) * 1.0000001
         t0 = time.monotonic()
         for _ in range(4):
             b = np.sort(a)
             a = b * 1.0000001 + np.roll(b, 1)
         return time.monotonic() - t0
 
-    calib = min(cpu_control() for _ in range(3))
+    calib = statistics.median(cpu_control() for _ in range(5))
     controls: list[float] = []
-    gate_failures = 0
+    degraded_legs: list[int] = []
 
-    def wait_for_quiet() -> float:
-        """Gate each leg on the CPU control: in a degraded phase (control
-        > 1.35x calibration) wait and re-probe rather than record a leg the
-        noise will dominate (round-2 session B failed exactly this way).
-        Never fails open silently: if 15 min of probing finds no quiet
-        window the leg runs anyway but the session is MARKED degraded in
-        the report (gate_failures)."""
-        nonlocal gate_failures
-        for _ in range(45):
+    def wait_for_quiet(leg_no: int) -> float:
+        """Probe for a quiet window (control within 1.6x of the median
+        calibration); after ~3 min of probing run the leg anyway and MARK it
+        degraded in the report — a gate that blocks forever measures the
+        gate, not the engine. Note round-3 finding: the control predicts
+        allocator/fault phases, which amortize over a minutes-long leg, so
+        marks are advisory; the statistical defense is 2x-more alternating
+        legs + medians + per-pair ratios."""
+        for _ in range(6):
             c = cpu_control()
-            if c <= 1.35 * calib:
+            if c <= 1.6 * calib:
                 return c
-            time.sleep(20)
-        gate_failures += 1
+            time.sleep(30)
+        degraded_legs.append(leg_no)
         return c
 
     legs: dict[int, list[dict]] = {lo: [], hi: []}
     # legs ALTERNATE lo/hi so slow VM drift hits both levels symmetrically
     # instead of biasing whichever level ran later
+    leg_no = 0
     for _ in range(n_legs):
         for cpus in (lo, hi):
             time.sleep(15)  # settle: let the previous leg's JVM exit, temp
             # cleanup, and page-cache churn drain before probing quietness
-            controls.append(wait_for_quiet())
+            controls.append(wait_for_quiet(leg_no))
+            leg_no += 1
             env = dict(
                 os.environ,
                 SPARK_GRAFT_CPUS=str(cpus),
@@ -251,6 +258,10 @@ def run_scaling(sf_dir: str) -> None:
     tp_lo, tp_hi = r_lo["files_per_sec"], r_hi["files_per_sec"]
     ratio = hi // lo
     eff_build = tp_hi / (ratio * tp_lo)
+    pair_effs = [
+        round(legs[hi][i]["files_per_sec"] / (ratio * legs[lo][i]["files_per_sec"]), 3)
+        for i in range(n_legs)
+    ]
     q_lo = statistics.median(r["value"] for r in legs[lo])
     q_hi = statistics.median(r["value"] for r in legs[hi])
     os.makedirs(REPO / "BENCH", exist_ok=True)
@@ -268,12 +279,12 @@ def run_scaling(sf_dir: str) -> None:
             f"single-thread CPU control (calibration {calib:.3f}s; per-leg "
             f"controls {[round(c, 3) for c in controls]}; "
             + (
-                "every leg started inside a quiet window (control within 1.35x "
-                "calibration)"
-                if gate_failures == 0
-                else f"WARNING: {gate_failures} leg(s) started after 15 min of "
-                "probing found no quiet window — treat this session as "
-                "noise-contaminated"
+                "every leg started inside a quiet window (control within 1.6x "
+                "median calibration)"
+                if not degraded_legs
+                else f"legs {degraded_legs} (0-indexed, order lo,hi,lo,hi,...) "
+                "started after ~3 min of probing found no quiet window — "
+                "marked degraded"
             )
             + ").\n\n"
             "| parallelism | build files/sec (median) | build sec | WAND query p50 (s) | batched 20q, per-query (s) | all legs files/sec |\n"
@@ -284,6 +295,9 @@ def run_scaling(sf_dir: str) -> None:
             f"{r_hi.get('batch_per_query_sec', 'n/a')} | {[r['files_per_sec'] for r in legs[hi]]} |\n\n"
             f"**Index-build scaling efficiency (N={lo} -> {ratio}N={hi} cores)** = "
             f"throughput({hi}) / ({ratio} x throughput({lo})) = **{eff_build:.3f}**\n\n"
+            f"Per-adjacent-pair efficiencies (each lo leg against the hi leg run "
+            f"immediately after it — temporally paired, so slow VM phases hit both "
+            f"legs of a pair): {pair_effs}, median **{statistics.median(pair_effs):.3f}**\n\n"
             f"Query p50 speedup {lo}->{hi}: {q_lo / q_hi:.2f}x\n\n"
             f"Raw: {json.dumps(legs)}\n"
         )
