@@ -74,13 +74,19 @@ def run_bench(sf_dir: str, cpus: int, n_files_override: int | None = None) -> di
 
     idx_dir = tempfile.mkdtemp(prefix=f"gar2_bench_idx_{cpus}_")
     shutil.rmtree(idx_dir, ignore_errors=True)
-    corpus_dir = tempfile.mkdtemp(prefix=f"gar2_bench_corpus_{cpus}_")
 
     # materialize the input table first (the north-rule input is an Iceberg
-    # table of files, not a generator) — generation is NOT index-build time
-    corpus_to_docs(synth_corpus_files(spark, n_files, partitions=max(cpus, 8))).write.mode(
-        "overwrite"
-    ).parquet(corpus_dir)
+    # table of files, not a generator) — generation is NOT index-build time.
+    # SPARK_GRAFT_BENCH_CORPUS_DIR reuses a pre-generated corpus (identical
+    # data by determinism) so co-scheduled scaling loops measure build only.
+    shared_corpus = os.environ.get("SPARK_GRAFT_BENCH_CORPUS_DIR")
+    if shared_corpus and os.path.isdir(shared_corpus):
+        corpus_dir, own_corpus = shared_corpus, False
+    else:
+        corpus_dir, own_corpus = tempfile.mkdtemp(prefix=f"gar2_bench_corpus_{cpus}_"), True
+        corpus_to_docs(
+            synth_corpus_files(spark, n_files, partitions=max(cpus, 8))
+        ).write.mode("overwrite").parquet(corpus_dir)
     corpus = spark.read.parquet(corpus_dir).select("doc_id", "content")
 
     # -------- 1. index build throughput (full resumable pipeline)
@@ -93,6 +99,19 @@ def run_bench(sf_dir: str, cpus: int, n_files_override: int | None = None) -> di
         tokenizer_mode="code",
     )
     build_sec = time.monotonic() - t0
+
+    if os.environ.get("SPARK_GRAFT_BENCH_BUILD_ONLY"):
+        # co-scheduled scaling loops: build throughput only, constant load
+        shutil.rmtree(idx_dir, ignore_errors=True)
+        if own_corpus:
+            shutil.rmtree(corpus_dir, ignore_errors=True)
+        spark.stop()
+        return {
+            "metric": "index_build_throughput", "value": round(n_files / build_sec, 1),
+            "unit": "files_per_sec", "queries": {}, "sf": sf,
+            "build_sec": round(build_sec, 2), "files_per_sec": round(n_files / build_sec, 1),
+            "n_files": n_files, "cpus": cpus,
+        }
 
     # -------- 2. WAND query latency over a hot (cached) index handle
     from geometric_aware_retrieval_v2_spark.operators.index import IndexHandle
@@ -146,7 +165,8 @@ def run_bench(sf_dir: str, cpus: int, n_files_override: int | None = None) -> di
     rerank_sec = round(time.monotonic() - t, 4)
 
     shutil.rmtree(idx_dir, ignore_errors=True)
-    shutil.rmtree(corpus_dir, ignore_errors=True)
+    if own_corpus:
+        shutil.rmtree(corpus_dir, ignore_errors=True)
     spark.stop()
 
     p50 = statistics.median(per_query.values())
