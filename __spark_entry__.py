@@ -274,12 +274,39 @@ def q_bm25_geodesic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25_geodesic_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production flagship: persisted compressed index -> block-max WAND
+    top-search_k -> geodesic rerank. Exact, so it shares the exhaustive
+    bm25_geodesic oracle bit-for-bit (same k/search_k/tokenizer mode)."""
+    from geometric_aware_retrieval_v2_spark.operators.pipelines import (
+        bm25_geodesic_indexed,
+    )
+
+    idx = _index_dir_for(spark, sf_dir)
+    return bm25_geodesic_indexed(
+        spark,
+        idx,
+        _emb(spark, sf_dir),
+        queries_df(spark),
+        k=10,
+        search_k=50,
+    )
+
+
 # ----------------------------------------------------- dedup / simsearch ops
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over the corpus PLUS injected copies of the first 5 docs
+    under shifted ids (the fixtures hold near-dups but no exact dups, so the
+    bare gate would pass vacuously on empty output; the oracle mirrors the
+    injection). Non-injected pytest coverage: test_flagship_lifecycle.py."""
     from geometric_aware_retrieval_v2_spark.operators.dedup import exact_dedup
 
-    return exact_dedup(_docs(spark, sf_dir))
+    base = _docs(spark, sf_dir).select("doc_id", "content")
+    injected = base.filter(F.col("doc_id") < 5).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "content"
+    )
+    return exact_dedup(base.unionByName(injected))
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -340,14 +367,26 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ivf_topk_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fixed-n_cells quantizer path (round-3 scale model): n_cells=22 at
-    sf0.01 (n=500) derives stride ceil(500/22)=23, so the oracle is the
-    stride quantizer at every=23 — the centroids_fixed == centroids_every
-    identity pinned by tests/test_simsearch_quantizer.py."""
+    """Fixed-n_cells quantizer path (round-3 scale model): the oracle derives
+    the stride ceil(n / n_cells) from the corpus count IN SQL, so the gate
+    holds at any sf — the centroids_fixed == centroids_every identity pinned
+    by tests/test_simsearch_quantizer.py."""
     from geometric_aware_retrieval_v2_spark.operators.simsearch import ivf_topk
 
     return ivf_topk(
         _emb(spark, sf_dir), _qvecs(spark, sf_dir), n_cells=22, nprobe=2, k=10
+    )
+
+
+def q_ivf_topk_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production BLAS assignment path (blocked GEMM, HALF_UP 9dp tie
+    parity with the JVM cosine) under the same stride-quantizer oracle as
+    ivf_topk — the driver gate for assign_method='gemm' itself."""
+    from geometric_aware_retrieval_v2_spark.operators.simsearch import ivf_topk
+
+    return ivf_topk(
+        _emb(spark, sf_dir), _qvecs(spark, sf_dir), every=50, nprobe=2, k=10,
+        assign_method="gemm",
     )
 
 
@@ -606,10 +645,12 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -------------------------------------------------------------- driver surface
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship (north star): exact BM25 retrieval over the sf0.001 corpus for
-    the fixed reference query set, re-ranked by the geometric stage (candidate
-    k-NN graph + geodesic Strategy C) in a grouped NumPy kernel."""
-    return q_bm25_geodesic(spark, SF0001)
+    """Flagship (north star): the E1 production lifecycle — persisted
+    compressed inverted index over the sf0.001 corpus, block-max WAND BM25
+    for the fixed reference query set, re-ranked by the geometric stage
+    (candidate k-NN graph + geodesic Strategy C) in a grouped NumPy kernel.
+    Bit-identical to the exhaustive q_bm25_geodesic (both exact)."""
+    return q_bm25_geodesic_indexed(spark, SF0001)
 
 
 # operators whose semantics are not expressible as one DuckDB query (graph
@@ -641,6 +682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "softknn_ppr": q_softknn_ppr,
         "heat_kernel_rerank": q_heat_kernel_rerank,
         "bm25_geodesic": q_bm25_geodesic,
+        "bm25_geodesic_indexed": q_bm25_geodesic_indexed,
         # dedup / similarity search
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
@@ -651,6 +693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_ivf": q_embedding_neardup_ivf,
         "ivf_topk": q_ivf_topk,
         "ivf_topk_fixed": q_ivf_topk_fixed,
+        "ivf_topk_gemm": q_ivf_topk_gemm,
         # text analysis
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
@@ -708,7 +751,8 @@ def oracle_sql() -> dict[str, str]:
             threshold=0.4, every=50, nprobe=4
         ),
         "ivf_topk": oracles.ivf_topk_sql(every=50, nprobe=2, k=10),
-        "ivf_topk_fixed": oracles.ivf_topk_sql(every=23, nprobe=2, k=10),
+        "ivf_topk_fixed": oracles.ivf_topk_sql(n_cells=22, nprobe=2, k=10),
+        "ivf_topk_gemm": oracles.ivf_topk_sql(every=50, nprobe=2, k=10),
         "lang_id": oracles.lang_id_sql(),
         "quality_score": oracles.quality_score_sql(),
         "token_stats": oracles.token_stats_sql(),
@@ -717,6 +761,7 @@ def oracle_sql() -> dict[str, str]:
         "media_features": oracles.media_features_sql(),
         "heat_kernel_rerank": oracles.heat_kernel_rerank_sql(n_queries=10, topk=50),
         "bm25_geodesic": oracles.bm25_geodesic_sql(k=10, search_k=50),
+        "bm25_geodesic_indexed": oracles.bm25_geodesic_sql(k=10, search_k=50),
         "ndcg_recall": oracles.ndcg_recall_sql(k=10),
         "rare": oracles.rare_sql(),
         "rare_rouge": oracles.rare_rouge_sql(max_tokens=30),

@@ -4,7 +4,8 @@ eval at /root/reference/geoIR/cli.py:21-154, re-expressed as cluster jobs).
 Usage (local or on a cluster):
     spark-submit --py-files gar2.zip -m geometric_aware_retrieval_v2_spark.cli \\
         build-index --input /path/corpus.parquet --index /path/index
-    ... search --index /path/index --query "hash join" --k 10 [--rerank geodesic]
+    ... search --index /path/index --query "hash join" --k 10 \\
+               [--rerank geodesic --embeddings /path/emb.parquet]
     ... audit  --index-embeddings /path/emb.parquet --k 5
     ... eval   --run run.parquet --qrels qrels.parquet --k 10
 """
@@ -40,6 +41,11 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     s.add_argument("--query", required=True)
     s.add_argument("--k", type=int, default=10)
     s.add_argument("--method", default="wand", choices=["wand", "exhaustive"])
+    s.add_argument("--rerank", default="none", choices=["none", "geodesic"])
+    s.add_argument("--embeddings", default=None,
+                   help="parquet (vec_id, embedding); required with --rerank geodesic")
+    s.add_argument("--search-k", type=int, default=100,
+                   help="candidate pool size fed to the rerank stage")
 
     a = sub.add_parser("audit")
     a.add_argument("--embeddings", required=True, help="parquet (vec_id, embedding)")
@@ -70,11 +76,33 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         )
         print(json.dumps(meta.__dict__))
     elif args.cmd == "search":
-        from geometric_aware_retrieval_v2_spark.operators.index import bm25_topk_indexed
-
         q = spark.createDataFrame([(0, args.query)], schema="qid long, text string")
-        rows = bm25_topk_indexed(spark, args.index, q, k=args.k, method=args.method).collect()
-        print(json.dumps([{"doc_id": r.doc_id, "score": r.score, "rank": r.rank} for r in rows]))
+        if args.rerank == "geodesic":
+            if not args.embeddings:
+                raise SystemExit("--rerank geodesic requires --embeddings")
+            from geometric_aware_retrieval_v2_spark.operators.pipelines import (
+                bm25_geodesic_indexed,
+            )
+
+            rows = bm25_geodesic_indexed(
+                spark, args.index, spark.read.parquet(args.embeddings), q,
+                k=args.k, search_k=args.search_k, method=args.method,
+            ).collect()
+            print(json.dumps(
+                [{"doc_id": r.doc_id, "bm25": r.bm25, "geo_dist": r.geo_dist,
+                  "rank": r.rank} for r in rows]
+            ))
+        else:
+            from geometric_aware_retrieval_v2_spark.operators.index import (
+                bm25_topk_indexed,
+            )
+
+            rows = bm25_topk_indexed(
+                spark, args.index, q, k=args.k, method=args.method
+            ).collect()
+            print(json.dumps(
+                [{"doc_id": r.doc_id, "score": r.score, "rank": r.rank} for r in rows]
+            ))
     elif args.cmd == "audit":
         from geometric_aware_retrieval_v2_spark.operators.curvature import (
             forman_curvature,
@@ -100,18 +128,24 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     elif args.cmd == "compact":
         # rewrite the postings table into doc-sorted non-overlapping blocks
         # (the deferred physical merge; build_index defaults to the logical
-        # concat merge below n_partitions=32), then SWAP it in atomically:
-        # write -> validate posting count -> rename, and rebuild the
-        # dictionary from the new blocks so queries read the compacted
-        # layout immediately
-        import os
+        # concat merge below n_partitions=32), then SWAP it in: write ->
+        # validate posting count -> two renames (fs_swap_dir; POSIX cannot
+        # atomically swap directories — a crash between the renames leaves
+        # the retired_* dir holding the complete old postings, recovery is
+        # renaming it back), and rebuild the dictionary from the new blocks
+        # so queries read the compacted layout immediately. All filesystem
+        # ops route through pyarrow.fs, so local, file://-schemed, and
+        # remote index dirs all swap.
         import uuid
 
         from pyspark.sql import functions as F2
 
         from geometric_aware_retrieval_v2_spark.operators.index import IndexMeta
         from geometric_aware_retrieval_v2_spark.operators.postings import merge_segments
-        from geometric_aware_retrieval_v2_spark.plans.manifest import is_local_path
+        from geometric_aware_retrieval_v2_spark.plans.manifest import (
+            fs_rmdir,
+            fs_swap_dir,
+        )
 
         meta = IndexMeta.load(args.index)
         old_path = f"{args.index}/postings"
@@ -129,33 +163,27 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             raise RuntimeError(
                 f"compaction lost postings: {n_old} -> {n_new}; not swapping"
             )
-        swapped = False
-        if is_local_path(args.index):
-            retired = f"{args.index}/postings_retired_{uuid.uuid4().hex[:8]}"
-            os.rename(old_path, retired)
-            os.rename(tmp_out, old_path)
-            # dictionary df = sum(n) per term is invariant under repack, but
-            # rebuild it from the live blocks so the pair never diverges
-            dict_tmp = f"{args.index}/dictionary_new_{uuid.uuid4().hex[:8]}"
-            spark.read.parquet(old_path).groupBy("term_id").agg(
-                F2.sum("n").alias("df")
-            ).write.mode("overwrite").parquet(dict_tmp)
-            dict_retired = f"{args.index}/dictionary_retired_{uuid.uuid4().hex[:8]}"
-            os.rename(f"{args.index}/dictionary", dict_retired)
-            os.rename(dict_tmp, f"{args.index}/dictionary")
-            import shutil as _sh
-
-            _sh.rmtree(retired, ignore_errors=True)
-            _sh.rmtree(dict_retired, ignore_errors=True)
-            swapped = True
-        n = spark.read.parquet(old_path if swapped else tmp_out).count()
+        tag = uuid.uuid4().hex[:8]
+        # dictionary df = sum(n) per term is invariant under repack, but
+        # rebuild it from the new blocks so the pair never diverges; stage
+        # it BEFORE either swap so both swaps are pure renames with no
+        # Spark job in between
+        dict_tmp = f"{args.index}/dictionary_compacted"
+        spark.read.parquet(tmp_out).groupBy("term_id").agg(
+            F2.sum("n").alias("df")
+        ).write.mode("overwrite").parquet(dict_tmp)
+        retired = fs_swap_dir(old_path, tmp_out, tag)
+        dict_retired = fs_swap_dir(f"{args.index}/dictionary", dict_tmp, tag)
+        fs_rmdir(retired)
+        fs_rmdir(dict_retired)
+        n = spark.read.parquet(old_path).count()
         print(
             json.dumps(
                 {
                     "compacted_blocks": n,
                     "postings": n_new,
-                    "swapped": swapped,
-                    "output": old_path if swapped else tmp_out,
+                    "swapped": True,
+                    "output": old_path,
                 }
             )
         )

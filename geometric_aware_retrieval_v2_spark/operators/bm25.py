@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from geometric_aware_retrieval_v2_spark.functions.tokenizer import _terms_col
 from geometric_aware_retrieval_v2_spark.operators.topk import grouped_topk
 
 K1_DEFAULT = 1.2
@@ -48,10 +49,15 @@ def corpus_stats(dstats: DataFrame) -> DataFrame:
     )
 
 
-def query_terms(queries: DataFrame, text_col: str = "text") -> DataFrame:
-    """(qid, term) distinct — queries are bags of distinct terms."""
+def query_terms(queries: DataFrame, text_col: str = "text", mode: str = "ws") -> DataFrame:
+    """(qid, term) distinct — queries are bags of distinct terms.
+
+    ``mode`` must match the tokenizer mode the documents side used: on a
+    ``code``/``code2`` index the postings store lowercased (sub)tokens, so a
+    raw whitespace split of 'parseHTTPServer' would match nothing. The
+    indexed query path passes IndexMeta.tokenizer_mode through here."""
     return (
-        queries.select("qid", F.explode(F.split(F.col(text_col), r"\s+")).alias("term"))
+        queries.select("qid", F.explode(_terms_col(text_col, mode)).alias("term"))
         .filter(F.col("term") != "")
         .distinct()
     )
@@ -63,6 +69,7 @@ def bm25_scores(
     queries: DataFrame,
     k1: float = K1_DEFAULT,
     b: float = B_DEFAULT,
+    query_mode: str = "ws",
 ) -> DataFrame:
     """-> (qid, doc_id, score). Exhaustive: every doc containing >=1 query term.
 
@@ -70,7 +77,7 @@ def bm25_scores(
     a shuffle on doc_id which AQE coalesces; at index scale the tf scan is
     term-partition-pruned so only query-term postings are read.
     """
-    qterms = query_terms(queries)
+    qterms = query_terms(queries, mode=query_mode)
     tstats = term_stats(tf)
     cstats = corpus_stats(dstats)
 
@@ -103,9 +110,10 @@ def bm25_topk(
     k: int = 10,
     k1: float = K1_DEFAULT,
     b: float = B_DEFAULT,
+    query_mode: str = "ws",
 ) -> DataFrame:
     """-> (qid, doc_id, score, rank): per-query top-k, deterministic order."""
-    scores = bm25_scores(tf, dstats, queries, k1=k1, b=b).withColumn(
+    scores = bm25_scores(tf, dstats, queries, k1=k1, b=b, query_mode=query_mode).withColumn(
         "score", F.round(F.col("score"), SCORE_DECIMALS)
     )
     return grouped_topk(

@@ -73,13 +73,18 @@ class IndexMeta:
     tokenizer_mode: str
 
     def save(self, index_dir: str) -> None:
-        with open(os.path.join(index_dir, "meta.json"), "w") as f:
-            json.dump(self.__dict__, f)
+        # pyarrow.fs routing (scheme dispatch like the manifest layer):
+        # meta.json works on local, file://, and remote filesystems alike
+        mf.fs_write_bytes(
+            index_dir.rstrip("/") + "/meta.json",
+            json.dumps(self.__dict__).encode(),
+        )
 
     @staticmethod
     def load(index_dir: str) -> "IndexMeta":
-        with open(os.path.join(index_dir, "meta.json")) as f:
-            return IndexMeta(**json.load(f))
+        return IndexMeta(
+            **json.loads(mf.fs_read_bytes(index_dir.rstrip("/") + "/meta.json"))
+        )
 
 
 def _check_vocab(n_terms: int, n_term_ids: int) -> None:
@@ -128,7 +133,7 @@ def build_index(
         block_size=block_size,
         tokenizer_mode=tokenizer_mode,
     )
-    os.makedirs(index_dir, exist_ok=True)
+    mf.fs_mkdirs(index_dir)
 
     params_fp = json.dumps(
         {
@@ -141,6 +146,14 @@ def build_index(
     )
     committed_params = mf.completed_partitions(spark, index_dir, "params")
     if -1 in committed_params:
+        fps = mf.stage_fingerprints(spark, index_dir, "params")
+        if len(fps) > 1:
+            raise RuntimeError(
+                f"index_dir {index_dir} manifest holds {len(fps)} conflicting "
+                f"'params' rows {sorted(fps)} — a prior resume ran against a "
+                "manifest it could not read. The partition-keyed artifacts "
+                "cannot be trusted; delete the index_dir and rebuild."
+            )
         if committed_params[-1] != params_fp:
             raise ValueError(
                 f"index_dir {index_dir} holds a build started with parameters "
@@ -276,9 +289,7 @@ def build_index(
         seg = pack_postings(tf_ord, n_shards=n_shards, block_size=block_size)
         seg_path = f"{index_dir}/segments/part={p}"
         seg.write.mode("overwrite").parquet(seg_path)
-        n_bytes = sum(
-            f.stat().st_size for f in os.scandir(seg_path) if f.name.endswith(".parquet")
-        )
+        n_bytes = mf.fs_dir_bytes(seg_path)
         with manifest_lock:
             mf.append_manifest(
                 spark,
@@ -532,21 +543,54 @@ class IndexHandle:
         return self
 
 
+# above this many distinct query terms the driver-side isin pushdown (one
+# collect + a literal IN list compiled into the scan) stops paying for
+# itself: the list no longer fits row-group stat skipping economics and the
+# collect becomes a driver bottleneck for offline million-query joins
+_ISIN_PUSHDOWN_MAX_TERMS = 4096
+
+
 def _candidate_blocks(handle: IndexHandle, queries: DataFrame) -> DataFrame | None:
     """Postings blocks for query terms, tagged with qid + idf. Returns None
     when no query term exists in the dictionary (all-OOV early exit: a
     zero-hit query must not pay the full scan/join/kernel plan).
 
-    Query terms are hashed to term_id (the same pure xxhash64 the build
-    uses — no lookup needed); the term_id IN (...) filter is pushed into
-    the parquet scan as int min/max row-group stat skipping; the bytes
-    column is read only for surviving blocks' row groups. qterms and
-    dictionary are broadcast.
+    Query text is tokenized with the SAME mode the index was built with
+    (IndexMeta.tokenizer_mode): on a code/code2 index the postings hold
+    lowercased (sub)tokens, so a whitespace split of 'parseHTTPServer'
+    would match nothing. Terms are hashed to term_id (the same pure
+    xxhash64 the build uses — no lookup needed).
+
+    Pushdown strategy (interactive path): the term_id IN (...) filter is
+    pushed into the parquet scan as int min/max row-group stat skipping;
+    the bytes column is read only for surviving blocks' row groups. qterms
+    and dictionary are broadcast. The collect that builds the IN list is
+    capped: a batch with more than _ISIN_PUSHDOWN_MAX_TERMS distinct terms
+    (offline scoring of huge query logs) switches to a broadcast hash
+    semi-join on term_id — no driver round-trip, no giant literal list in
+    the plan; the scan then prunes via the broadcast join instead.
     """
-    qt = query_terms(queries).select(
+    qt = query_terms(queries, mode=handle.meta.tokenizer_mode).select(
         "qid", F.xxhash64("term").alias("term_id")
     )
-    qterm_list = [r.term_id for r in qt.select("term_id").distinct().collect()]
+    qterm_list = [
+        r.term_id
+        for r in qt.select("term_id")
+        .distinct()
+        .limit(_ISIN_PUSHDOWN_MAX_TERMS + 1)
+        .collect()
+    ]
+    n = float(handle.meta.n_docs)
+    idf = F.log(F.lit(1.0) + (F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    idf_dict = F.broadcast(
+        handle.dictionary.withColumn("idf", idf).select("term_id", "idf")
+    )
+    if len(qterm_list) > _ISIN_PUSHDOWN_MAX_TERMS:
+        # large-batch path: the broadcast hash join on term_id IS the prune
+        # (build side = query terms), no isin literal, no driver round-trip
+        return handle.postings.join(F.broadcast(qt), "term_id").join(
+            idf_dict, "term_id"
+        )
     present = [
         r.term_id
         for r in handle.dictionary.filter(F.col("term_id").isin(qterm_list))
@@ -555,17 +599,10 @@ def _candidate_blocks(handle: IndexHandle, queries: DataFrame) -> DataFrame | No
     ]
     if not present:
         return None
-    n = float(handle.meta.n_docs)
-    idf = F.log(F.lit(1.0) + (F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5))
     return (
         handle.postings.filter(F.col("term_id").isin(present))
         .join(F.broadcast(qt), "term_id")
-        .join(
-            F.broadcast(
-                handle.dictionary.withColumn("idf", idf).select("term_id", "idf")
-            ),
-            "term_id",
-        )
+        .join(idf_dict, "term_id")
     )
 
 

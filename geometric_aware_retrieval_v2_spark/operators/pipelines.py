@@ -43,6 +43,7 @@ def bm25_geodesic(
     connect_k: int = 10,
     knn_k: int = 10,
     dim: int = 64,
+    tokenizer_mode: str = "ws",
 ) -> DataFrame:
     """Flagship: exhaustive BM25 top-search_k -> geodesic Strategy C rerank.
     -> (qid, doc_id, bm25, geo_dist, rank)."""
@@ -51,8 +52,57 @@ def bm25_geodesic(
     # the reference's config contract gates the geometric-stage entry point
     GeoConfig(k_graph=knn_k, geodesic=True)
     hits = bm25.bm25_topk(
-        tokenize_terms(docs), doc_stats(docs), queries, k=search_k
+        tokenize_terms(docs, mode=tokenizer_mode),
+        doc_stats(docs, mode=tokenizer_mode),
+        queries,
+        k=search_k,
+        query_mode=tokenizer_mode,
     )
+    qvecs = encode_queries(queries, dim=dim)
+    cands = attach_candidates(hits, emb, qvecs)
+    reranked = rerank.geodesic_rerank(cands, k=k, connect_k=connect_k, knn_k=knn_k)
+    return (
+        reranked.join(
+            cands.select("qid", "doc_id", F.round("bm25", 6).alias("bm25")),
+            ["qid", "doc_id"],
+        )
+        .select("qid", "doc_id", "bm25", "geo_dist", "rank")
+    )
+
+
+def bm25_geodesic_indexed(
+    spark: SparkSession,
+    index,
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    search_k: int = 100,
+    connect_k: int = 10,
+    knn_k: int = 10,
+    dim: int = 64,
+    method: str = "wand",
+) -> DataFrame:
+    """The production flagship (reference E1 lifecycle over a PERSISTED
+    index, /root/reference/geoIR/cli.py:39-61 -> retrieval/index.py:171-189):
+    compressed-index block-max WAND top-search_k -> embedding join ->
+    geodesic Strategy C rerank. -> (qid, doc_id, bm25, geo_dist, rank).
+
+    ``index`` is an index_dir path or an IndexHandle (pass a .cache()d handle
+    to amortize index loading across query batches). Both this and the
+    exhaustive ``bm25_geodesic`` are exact, so on the same corpus + queries
+    their outputs are bit-identical (pytest-asserted): WAND changes which
+    blocks are DECODED, never the scores of surviving top-k docs, and query
+    text is tokenized with the index's own tokenizer_mode.
+    """
+    from geometric_aware_retrieval_v2_spark.config import GeoConfig
+    from geometric_aware_retrieval_v2_spark.operators.index import (
+        IndexHandle,
+        bm25_topk_indexed,
+    )
+
+    GeoConfig(k_graph=knn_k, geodesic=True)
+    handle = IndexHandle(spark, index) if isinstance(index, str) else index
+    hits = bm25_topk_indexed(spark, handle, queries, k=search_k, method=method)
     qvecs = encode_queries(queries, dim=dim)
     cands = attach_candidates(hits, emb, qvecs)
     reranked = rerank.geodesic_rerank(cands, k=k, connect_k=connect_k, knn_k=knn_k)

@@ -822,10 +822,20 @@ _J_VERIFY = """
 """
 
 
-def dedup_exact_sql() -> str:
-    return """
+def dedup_exact_sql(n_injected: int = 5, id_offset: int = 10_000_000) -> str:
+    """The sf fixtures contain near-dups but NO exact dups, so a bare gate
+    passes vacuously on 0 == 0 rows. Both sides therefore union in copies of
+    the first ``n_injected`` documents under shifted ids — the gate then
+    verifies non-empty (content_sha256, n_dups, rep_doc_id) output."""
+    return f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + {id_offset} AS doc_id, text
+      FROM documents WHERE doc_id < {n_injected}
+    )
     SELECT sha256(text) AS content_sha256, count(*) AS n_dups, min(doc_id) AS rep_doc_id
-    FROM documents GROUP BY 1 HAVING count(*) >= 2
+    FROM corpus GROUP BY 1 HAVING count(*) >= 2
     """
 
 
@@ -1011,11 +1021,28 @@ def embedding_neardup_ivf_sql(
     """
 
 
-def ivf_topk_sql(every: int = 50, nprobe: int = 2, k: int = 10, n_queries: int = 10) -> str:
+def ivf_topk_sql(
+    every: int | None = 50,
+    nprobe: int = 2,
+    k: int = 10,
+    n_queries: int = 10,
+    n_cells: int | None = None,
+) -> str:
+    """``every``: fixed stride (centroids_every twin). ``n_cells``: derive the
+    stride from the corpus count IN SQL — ceil(n / n_cells), the
+    centroids_fixed identity — so the fixed-quantizer gate tracks any sf
+    instead of hardcoding the sf0.01 stride."""
+    if n_cells is not None:
+        stride = (
+            f"(SELECT CAST(CEIL(COUNT(*) * 1.0 / {n_cells}) AS BIGINT) "
+            f"FROM ({EMB}))"
+        )
+    else:
+        stride = str(every)
     return f"""
     WITH cents AS (
-      SELECT (vec_id / {every})::BIGINT AS cell, v AS cvec
-      FROM ({EMB}) WHERE vec_id % {every} = 0
+      SELECT (vec_id / {stride})::BIGINT AS cell, v AS cvec
+      FROM ({EMB}) WHERE vec_id % {stride} = 0
     ),
     assign AS (
       SELECT vec_id, cell FROM (

@@ -74,6 +74,72 @@ def _strip_file_scheme(path: str) -> str:
     return path[len("file://"):] if path.startswith("file://") else path
 
 
+def fs_for(path: str):
+    """-> (pyarrow.fs.FileSystem, fs-native path) for any index path: plain
+    local, 'file://'-schemed, or remote (hdfs://, s3://, ... — whatever
+    pyarrow.fs.FileSystem.from_uri resolves). Small driver-side filesystem
+    operations (meta.json, byte accounting, compaction swaps) route through
+    this so an index_dir on a remote filesystem can complete a full
+    build -> search -> compact lifecycle, not just the manifest commits."""
+    from pyarrow import fs as pafs
+
+    if "://" in path:
+        return pafs.FileSystem.from_uri(path)
+    return pafs.LocalFileSystem(), path
+
+
+def fs_write_bytes(path: str, data: bytes) -> None:
+    fs, p = fs_for(path)
+    with fs.open_output_stream(p) as f:
+        f.write(data)
+
+
+def fs_read_bytes(path: str) -> bytes:
+    fs, p = fs_for(path)
+    with fs.open_input_stream(p) as f:
+        return f.read()
+
+
+def fs_mkdirs(path: str) -> None:
+    fs, p = fs_for(path)
+    fs.create_dir(p, recursive=True)
+
+
+def fs_dir_bytes(path: str, suffix: str = ".parquet") -> int:
+    """Total size of files with ``suffix`` directly under ``path``."""
+    from pyarrow import fs as pafs
+
+    fs, p = fs_for(path)
+    return sum(
+        info.size
+        for info in fs.get_file_info(pafs.FileSelector(p))
+        if info.is_file and info.path.endswith(suffix)
+    )
+
+
+def fs_swap_dir(live: str, staged: str, retired_tag: str) -> str:
+    """Replace directory ``live`` with ``staged`` via two renames (POSIX
+    cannot atomically swap directories): live -> live_retired_<tag>, then
+    staged -> live. NOT atomic — a crash between the renames leaves no
+    ``live`` directory; recovery is renaming the retired dir back (it still
+    holds the complete old contents; this helper never deletes it — callers
+    remove it only after the swap succeeds). Returns the retired path."""
+    fs, live_p = fs_for(live)
+    _, staged_p = fs_for(staged)
+    retired = f"{live_p}_retired_{retired_tag}"
+    fs.move(live_p, retired)
+    fs.move(staged_p, live_p)
+    return retired
+
+
+def fs_rmdir(path: str) -> None:
+    fs, p = fs_for(path)
+    try:
+        fs.delete_dir(p)
+    except FileNotFoundError:
+        pass
+
+
 def append_manifest(spark: SparkSession, index_dir: str, rows: list[tuple]) -> None:
     path = manifest_path(index_dir)
     if not is_local_path(path):
@@ -108,10 +174,22 @@ def read_manifest(spark: SparkSession, index_dir: str) -> DataFrame | None:
             f.endswith(".parquet") for f in os.listdir(local)
         ):
             return None
+        return spark.read.parquet(path)
     try:
         return spark.read.parquet(path)
-    except Exception:
-        return None
+    except Exception as e:
+        # ONLY a missing manifest (fresh build) maps to None. A transient
+        # remote-FS failure must NOT masquerade as a fresh build: that would
+        # bypass the params-pinning guard and let a resume append a second,
+        # conflicting 'params' row. AnalysisException with PATH_NOT_FOUND is
+        # the missing-directory signal across Hadoop filesystems.
+        from pyspark.errors import AnalysisException
+
+        if isinstance(e, AnalysisException) and (
+            "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e)
+        ):
+            return None
+        raise
 
 
 def completed_partitions(spark: SparkSession, index_dir: str, stage: str) -> dict[int, str]:
@@ -125,6 +203,23 @@ def completed_partitions(spark: SparkSession, index_dir: str, stage: str) -> dic
         .collect()
     )
     return {r.partition_id: r.input_fingerprint for r in rows}
+
+
+def stage_fingerprints(spark: SparkSession, index_dir: str, stage: str) -> list[str]:
+    """Distinct input_fingerprints committed for a stage (all partitions).
+    The params-pinning guard uses this to detect a manifest holding two
+    CONFLICTING 'params' rows — possible only if a past resume ran against
+    a manifest it failed to read — before trusting any committed artifact."""
+    m = read_manifest(spark, index_dir)
+    if m is None:
+        return []
+    return [
+        r.input_fingerprint
+        for r in m.filter((m.stage == stage) & (m.status == "done"))
+        .select("input_fingerprint")
+        .distinct()
+        .collect()
+    ]
 
 
 def manifest_row(

@@ -1,0 +1,167 @@
+"""Round-4 lifecycle closures:
+
+  * the index-backed flagship (persisted index -> WAND -> geodesic rerank)
+    is bit-identical to the exhaustive pipeline — both are exact, so any
+    divergence is a bug (VERDICT r3 Missing #1);
+  * exact dedup verified on a POSITIVE case (the sf fixtures contain
+    near-dups but no exact dups, so the driver gate passes vacuously);
+  * a 'file://'-schemed (mock-remote) index_dir completes the FULL
+    build -> search -> compact lifecycle through the pyarrow.fs routing
+    (VERDICT r3 Missing #2);
+  * the large-batch broadcast-semi-join term pushdown returns the same
+    hits as the driver-side isin pushdown.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+
+import pytest
+
+import __spark_entry__ as entrymod
+from tests.conftest import SF_SMOKE
+
+
+# ------------------------------------------------ flagship rank-identity
+
+def test_flagship_indexed_matches_exhaustive(spark):
+    """bm25_geodesic_indexed (index -> WAND -> rerank) must reproduce the
+    exhaustive bm25_geodesic bit-for-bit: WAND only changes which blocks
+    are DECODED, never surviving top-k scores, and the geodesic stage sees
+    identical candidate sets."""
+    exh = entrymod.q_bm25_geodesic(spark, SF_SMOKE).collect()
+    idx = entrymod.q_bm25_geodesic_indexed(spark, SF_SMOKE).collect()
+
+    def key(rows):
+        return sorted((r.qid, r.rank, r.doc_id, r.bm25, r.geo_dist) for r in rows)
+
+    assert len(exh) > 0
+    assert key(exh) == key(idx)
+
+
+# ------------------------------------------------ exact dedup, non-vacuous
+
+def test_exact_dedup_positive(spark):
+    from geometric_aware_retrieval_v2_spark.operators.dedup import exact_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (7, "alpha beta gamma"),
+            (3, "alpha beta gamma"),   # exact duplicate, lower id -> rep
+            (9, "alpha beta gamma"),   # triple
+            (4, "delta epsilon"),
+            (5, "delta  epsilon"),     # whitespace differs: NOT exact
+        ],
+        schema="doc_id long, content string",
+    )
+    rows = exact_dedup(docs).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.content_sha256 == hashlib.sha256(b"alpha beta gamma").hexdigest()
+    assert r.n_dups == 3
+    assert r.rep_doc_id == 3
+
+
+# --------------------------------- mock-remote full index lifecycle
+
+def test_schemed_index_dir_full_lifecycle(spark, tmp_path, capsys):
+    """build -> search -> compact -> search on a 'file://'-schemed index_dir:
+    every driver-side filesystem touch (meta.json, byte accounting, manifest
+    commits, the compaction swap) must route through the scheme-dispatched
+    pyarrow.fs layer instead of assuming a POSIX path."""
+    from geometric_aware_retrieval_v2_spark import cli
+    from tests.test_sources_cli import SMALL_CORPUS
+
+    inp = str(tmp_path / "corpus.parquet")
+    spark.createDataFrame(
+        list(enumerate(SMALL_CORPUS)), schema="doc_id long, content string"
+    ).write.parquet(inp)
+    index = "file://" + str(tmp_path / "remote_idx")
+
+    rc = cli.main(
+        ["build-index", "--input", inp, "--index", index, "--partitions", "2",
+         "--shards", "2", "--tokenizer", "ws"],
+        spark=spark,
+    )
+    assert rc == 0
+    meta = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert meta["n_docs"] == len(SMALL_CORPUS)
+
+    def search():
+        rc = cli.main(
+            ["search", "--index", index, "--query", "man riding horse", "--k", "3"],
+            spark=spark,
+        )
+        assert rc == 0
+        return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    hits = search()
+    assert len(hits) == 3 and hits[0]["rank"] == 1
+
+    rc = cli.main(["compact", "--index", index], spark=spark)
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["swapped"] is True
+    # retired dirs are cleaned up; compacted postings live at the index path
+    local = str(tmp_path / "remote_idx")
+    import os
+
+    assert os.path.isdir(f"{local}/postings")
+    assert not os.path.isdir(f"{local}/postings_compacted")
+    assert not any("retired" in d for d in os.listdir(local))
+    assert search() == hits
+
+
+# --------------------------------- large-batch semi-join term pushdown
+
+def test_semi_join_pushdown_matches_isin(spark, tmp_path, monkeypatch):
+    """Forcing the >_ISIN_PUSHDOWN_MAX_TERMS path (broadcast semi-join, no
+    driver-side isin collect) must return identical hits."""
+    from geometric_aware_retrieval_v2_spark.operators import index as ix
+    from tests.test_sources_cli import SMALL_CORPUS
+
+    docs = spark.createDataFrame(
+        list(enumerate(SMALL_CORPUS)), schema="doc_id long, content string"
+    )
+    d = str(tmp_path / "idx")
+    ix.build_index(spark, docs, d, n_partitions=2, n_shards=2, block_size=8)
+    queries = spark.createDataFrame(
+        [(0, "man riding horse"), (1, "woman playing violin"), (2, "zzz_oov")],
+        schema="qid long, text string",
+    )
+    base = ix.bm25_topk_indexed(spark, d, queries, k=3).collect()
+    monkeypatch.setattr(ix, "_ISIN_PUSHDOWN_MAX_TERMS", 1)
+    semi = ix.bm25_topk_indexed(spark, d, queries, k=3).collect()
+
+    def key(rows):
+        return sorted((r.qid, r.rank, r.doc_id, r.score) for r in rows)
+
+    assert len(base) > 0
+    assert key(base) == key(semi)
+
+
+def test_code2_index_query_tokenizer_parity(spark, tmp_path):
+    """On a code2 index, query text like 'parseHTTPServer' must be tokenized
+    with the index's own mode (lowercased subtokens) — a raw whitespace
+    split would match nothing (ADVICE r3: bm25.py:51)."""
+    from geometric_aware_retrieval_v2_spark.operators import index as ix
+
+    docs = spark.createDataFrame(
+        [
+            (0, "def parseHTTPServer(conn): return http_response"),
+            (1, "class DataFrameWriter: pass"),
+            (2, "unrelated words entirely"),
+        ],
+        schema="doc_id long, content string",
+    )
+    d = str(tmp_path / "idx2")
+    ix.build_index(
+        spark, docs, d, n_partitions=2, n_shards=2, block_size=8,
+        tokenizer_mode="code2",
+    )
+    q = spark.createDataFrame(
+        [(0, "parseHTTPServer")], schema="qid long, text string"
+    )
+    hits = ix.bm25_topk_indexed(spark, d, q, k=3).collect()
+    assert [r.doc_id for r in hits if r.rank == 1] == [0]
