@@ -60,13 +60,11 @@ def bm25_geodesic(
     )
     qvecs = encode_queries(queries, dim=dim)
     cands = attach_candidates(hits, emb, qvecs)
-    reranked = rerank.geodesic_rerank(cands, k=k, connect_k=connect_k, knn_k=knn_k)
-    return (
-        reranked.join(
-            cands.select("qid", "doc_id", F.round("bm25", 6).alias("bm25")),
-            ["qid", "doc_id"],
-        )
-        .select("qid", "doc_id", "bm25", "geo_dist", "rank")
+    # bm25 rides through the rerank kernel (already 6dp-rounded by the
+    # scorer): joining it back onto `cands` would recompute the whole
+    # retrieval subtree a second time
+    return rerank.geodesic_rerank(
+        cands, k=k, connect_k=connect_k, knn_k=knn_k, passthrough=("bm25",)
     )
 
 
@@ -105,13 +103,11 @@ def bm25_geodesic_indexed(
     hits = bm25_topk_indexed(spark, handle, queries, k=search_k, method=method)
     qvecs = encode_queries(queries, dim=dim)
     cands = attach_candidates(hits, emb, qvecs)
-    reranked = rerank.geodesic_rerank(cands, k=k, connect_k=connect_k, knn_k=knn_k)
-    return (
-        reranked.join(
-            cands.select("qid", "doc_id", F.round("bm25", 6).alias("bm25")),
-            ["qid", "doc_id"],
-        )
-        .select("qid", "doc_id", "bm25", "geo_dist", "rank")
+    # bm25 rides through the kernel: a join back onto `cands` would run the
+    # WAND scan + scoring kernel TWICE per query batch (observed ~2x the
+    # engine work in the flagship bench job before this)
+    return rerank.geodesic_rerank(
+        cands, k=k, connect_k=connect_k, knn_k=knn_k, passthrough=("bm25",)
     )
 
 

@@ -265,6 +265,7 @@ def _geodesic_kernel(
     connect_k: int,
     knn_k: int,
     vec_col: str,
+    passthrough: tuple[str, ...] = (),
 ) -> pd.DataFrame:
     E = _normalize_rows(np.vstack(cand_pdf[vec_col].to_numpy()).astype(np.float64))
     q = np.asarray(cand_pdf["qvec"].iat[0], dtype=np.float64)
@@ -294,9 +295,10 @@ def _geodesic_kernel(
     # so the float bit pattern matches DuckDB round() exactly — np.round's
     # scaled-rint can land 1 ulp off the correctly-rounded decimal and flip
     # the driver's bit-exact hash even when values compare equal
-    return pd.DataFrame(
-        {"qid": qid, "doc_id": doc_ids[reach], "geo_dist": dist[reach]}
-    )
+    out = {"qid": qid, "doc_id": doc_ids[reach], "geo_dist": dist[reach]}
+    for c in passthrough:  # rows align with cand_pdf order by construction
+        out[c] = cand_pdf[c].to_numpy()[reach]
+    return pd.DataFrame(out)
 
 
 def geodesic_rerank(
@@ -306,8 +308,15 @@ def geodesic_rerank(
     knn_k: int = 10,
     edges: DataFrame | None = None,
     vec_col: str = "embedding",
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """Strategy C per query group -> (qid, doc_id, geo_dist, rank).
+
+    ``passthrough``: double columns of ``candidates`` to carry through the
+    kernel into the output (e.g. the bm25 score) — the flagship pipelines
+    use this so the final result needs NO join back onto the candidate
+    frame, which would otherwise recompute the whole retrieval subtree
+    (the WAND scan + kernel ran twice per query batch before this).
 
     ``candidates``: (qid, doc_id, embedding, qvec) — the BM25/cosine top-
     search_k hits joined to the embedding table and the query vector.
@@ -321,14 +330,17 @@ def geodesic_rerank(
 
     Unreachable candidates are dropped, matching Dijkstra dict semantics.
     """
+    schema = "qid long, doc_id long, geo_dist double" + "".join(
+        f", {c} double" for c in passthrough
+    )
     if edges is None:
 
         def run(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-            return _geodesic_kernel(pdf, None, key[0], connect_k, knn_k, vec_col)
+            return _geodesic_kernel(
+                pdf, None, key[0], connect_k, knn_k, vec_col, passthrough
+            )
 
-        out = candidates.groupBy("qid").applyInPandas(
-            run, schema="qid long, doc_id long, geo_dist double"
-        )
+        out = candidates.groupBy("qid").applyInPandas(run, schema=schema)
     else:
         ca = candidates.select("qid", "doc_id").alias("ca")
         cb = candidates.select("qid", "doc_id").alias("cb")
@@ -349,17 +361,19 @@ def geodesic_rerank(
         )
 
         def run2(key: tuple, cand_pdf: pd.DataFrame, edge_pdf: pd.DataFrame) -> pd.DataFrame:
-            return _geodesic_kernel(cand_pdf, edge_pdf, key[0], connect_k, knn_k, vec_col)
+            return _geodesic_kernel(
+                cand_pdf, edge_pdf, key[0], connect_k, knn_k, vec_col, passthrough
+            )
 
         out = (
             candidates.groupBy("qid")
             .cogroup(induced.groupBy("qid"))
-            .applyInPandas(run2, schema="qid long, doc_id long, geo_dist double")
+            .applyInPandas(run2, schema=schema)
         )
     out = out.withColumn("geo_dist", F.round("geo_dist", SCORE_DECIMALS))
     return grouped_topk(
         out, keys=["qid"], order=[F.col("geo_dist").asc(), F.col("doc_id").asc()], k=k
-    ).select("qid", "doc_id", "geo_dist", "rank")
+    ).select("qid", "doc_id", *passthrough, "geo_dist", "rank")
 
 
 def ppr_rerank(
