@@ -8,6 +8,7 @@ Usage (local or on a cluster):
                [--rerank geodesic --embeddings /path/emb.parquet]
     ... audit  --index-embeddings /path/emb.parquet --k 5
     ... eval   --run run.parquet --qrels qrels.parquet --k 10
+    ... compact --index /path/index
 """
 
 from __future__ import annotations
