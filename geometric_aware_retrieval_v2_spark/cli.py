@@ -131,22 +131,26 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         # (the deferred physical merge; build_index defaults to the logical
         # concat merge below n_partitions=32), then SWAP it in: write ->
         # validate posting count -> two renames (fs_swap_dir; POSIX cannot
-        # atomically swap directories — a crash between the renames leaves
-        # the retired_* dir holding the complete old postings, recovery is
-        # renaming it back), and rebuild the dictionary from the new blocks
-        # so queries read the compacted layout immediately. All filesystem
-        # ops route through pyarrow.fs, so local, file://-schemed, and
-        # remote index dirs all swap.
+        # atomically swap directories — a crash between the renames is
+        # journaled and auto-repaired by the next IndexMeta.load, see
+        # manifest.write_swap_journal/recover_swap), and rebuild the
+        # dictionary from the new blocks so queries read the compacted
+        # layout immediately. Filesystem ops route through pyarrow.fs;
+        # rename-less object stores are feature-detected up front and fall
+        # back to leaving the output staged (swapped=false).
         import uuid
 
         from pyspark.sql import functions as F2
 
         from geometric_aware_retrieval_v2_spark.operators.index import IndexMeta
-        from geometric_aware_retrieval_v2_spark.operators.postings import merge_segments
         from geometric_aware_retrieval_v2_spark.plans.manifest import (
+            clear_swap_journal,
             fs_rmdir,
+            fs_supports_dir_move,
             fs_swap_dir,
+            write_swap_journal,
         )
+        from geometric_aware_retrieval_v2_spark.operators.postings import merge_segments
 
         meta = IndexMeta.load(args.index)
         old_path = f"{args.index}/postings"
@@ -173,10 +177,30 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         spark.read.parquet(tmp_out).groupBy("term_id").agg(
             F2.sum("n").alias("df")
         ).write.mode("overwrite").parquet(dict_tmp)
+        dict_path = f"{args.index}/dictionary"
+        if not fs_supports_dir_move(args.index):
+            # rename-less object store (e.g. pyarrow S3FileSystem): a
+            # directory move would throw AFTER retiring the live dir. Probe
+            # BEFORE touching anything and leave the compacted output staged
+            # instead — queries keep reading the uncompacted live postings.
+            n = spark.read.parquet(tmp_out).count()
+            print(json.dumps({
+                "compacted_blocks": n, "postings": n_new,
+                "swapped": False, "output": tmp_out,
+            }))
+            if owns_session:
+                spark.stop()
+            return 0
+        # journal the pending swap first: fs_swap_dir's two renames are not
+        # atomic, and the journal lets the next IndexMeta.load auto-repair a
+        # crash between them (manifest.recover_swap) instead of requiring a
+        # manual retired_* rename
+        write_swap_journal(args.index, tag, [old_path, dict_path])
         retired = fs_swap_dir(old_path, tmp_out, tag)
-        dict_retired = fs_swap_dir(f"{args.index}/dictionary", dict_tmp, tag)
+        dict_retired = fs_swap_dir(dict_path, dict_tmp, tag)
         fs_rmdir(retired)
         fs_rmdir(dict_retired)
+        clear_swap_journal(args.index)
         n = spark.read.parquet(old_path).count()
         print(
             json.dumps(

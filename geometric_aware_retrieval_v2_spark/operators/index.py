@@ -74,14 +74,19 @@ class IndexMeta:
 
     def save(self, index_dir: str) -> None:
         # pyarrow.fs routing (scheme dispatch like the manifest layer):
-        # meta.json works on local, file://, and remote filesystems alike
-        mf.fs_write_bytes(
+        # meta.json works on local, file://, and remote filesystems alike;
+        # staged-tmp + rename so a crash mid-write cannot leave a torn
+        # meta.json that breaks every subsequent load/search/compact
+        mf.fs_write_bytes_atomic(
             index_dir.rstrip("/") + "/meta.json",
             json.dumps(self.__dict__).encode(),
         )
 
     @staticmethod
     def load(index_dir: str) -> "IndexMeta":
+        # every query/compact path loads meta first, so this is the natural
+        # point to replay a crashed compact swap (see manifest.recover_swap)
+        mf.recover_swap(index_dir)
         return IndexMeta(
             **json.loads(mf.fs_read_bytes(index_dir.rstrip("/") + "/meta.json"))
         )
@@ -549,6 +554,11 @@ class IndexHandle:
 # collect becomes a driver bottleneck for offline million-query joins
 _ISIN_PUSHDOWN_MAX_TERMS = 4096
 
+# largest distinct-term_id set still hinted broadcast for the semi-join prune
+# on the large-batch path: 16M longs ~ 0.5 GB broadcast-side hash relation,
+# comfortably under Spark's 8 GB hard limit with headroom for row overhead
+_BROADCAST_PRUNE_MAX_TERMS = 16_000_000
+
 
 def _candidate_blocks(handle: IndexHandle, queries: DataFrame) -> DataFrame | None:
     """Postings blocks for query terms, tagged with qid + idf. Returns None
@@ -586,11 +596,25 @@ def _candidate_blocks(handle: IndexHandle, queries: DataFrame) -> DataFrame | No
         handle.dictionary.withColumn("idf", idf).select("term_id", "idf")
     )
     if len(qterm_list) > _ISIN_PUSHDOWN_MAX_TERMS:
-        # large-batch path: the broadcast hash join on term_id IS the prune
-        # (build side = query terms), no isin literal, no driver round-trip
-        return handle.postings.join(F.broadcast(qt), "term_id").join(
-            idf_dict, "term_id"
+        # large-batch path (huge offline query logs): prune the postings scan
+        # with a broadcast SEMI-join on the DISTINCT term_id set only — the
+        # full (qid, term_id) frame can be multi-million rows and hinting it
+        # broadcast would blow Spark's 8 GB broadcast limit / driver memory
+        # on exactly the workloads this path exists for. Distinct terms are
+        # usually orders of magnitude fewer than pairs, but a bounded probe
+        # (one narrow job, noise next to the scoring job) verifies that
+        # before pinning the hint; past the cap the hint is dropped and AQE
+        # picks the prune-join strategy at runtime. The qid attach join is
+        # always un-hinted: AQE broadcasts it when qt is small and shuffles
+        # when it is not.
+        qterms_distinct = qt.select("term_id").distinct()
+        small = (
+            qterms_distinct.limit(_BROADCAST_PRUNE_MAX_TERMS + 1).count()
+            <= _BROADCAST_PRUNE_MAX_TERMS
         )
+        prune_side = F.broadcast(qterms_distinct) if small else qterms_distinct
+        pruned = handle.postings.join(prune_side, "term_id", "left_semi")
+        return pruned.join(qt, "term_id").join(idf_dict, "term_id")
     present = [
         r.term_id
         for r in handle.dictionary.filter(F.col("term_id").isin(qterm_list))

@@ -19,6 +19,7 @@ partition granularity; the manifest generalizes both.
 
 from __future__ import annotations
 
+import json
 import os
 import time
 import uuid
@@ -94,6 +95,72 @@ def fs_write_bytes(path: str, data: bytes) -> None:
         f.write(data)
 
 
+def fs_write_bytes_atomic(path: str, data: bytes) -> None:
+    """Crash-safe small-file write: stage to ``path.tmp`` then rename into
+    place, so a reader never sees a torn file (a mid-write crash on the
+    direct path leaves e.g. a broken meta.json that fails every subsequent
+    load/search/compact). On filesystems without rename (some object
+    stores) the move raises and we fall back to the direct overwrite —
+    object-store PUTs are already atomic per-key, so the fallback does not
+    reintroduce the torn-file window there."""
+    fs, p = fs_for(path)
+    tmp = p + ".tmp"
+    with fs.open_output_stream(tmp) as f:
+        f.write(data)
+    try:
+        fs.move(tmp, p)
+    except (OSError, NotImplementedError):
+        with fs.open_output_stream(p) as f:
+            f.write(data)
+        try:
+            fs.delete_file(tmp)
+        except (OSError, FileNotFoundError):
+            pass
+
+
+def fs_exists(path: str) -> bool:
+    from pyarrow import fs as pafs
+
+    fs, p = fs_for(path)
+    return fs.get_file_info(p).type != pafs.FileType.NotFound
+
+
+def fs_delete_file(path: str) -> None:
+    fs, p = fs_for(path)
+    try:
+        fs.delete_file(p)
+    except (OSError, FileNotFoundError):
+        pass
+
+
+def fs_move(src: str, dst: str) -> None:
+    """Rename within one filesystem (src and dst share a scheme)."""
+    fs, s = fs_for(src)
+    _, d = fs_for(dst)
+    fs.move(s, d)
+
+
+def fs_supports_dir_move(parent: str) -> bool:
+    """Feature-detect directory rename under ``parent`` by probing with a
+    throwaway marker dir. pyarrow's S3FileSystem (and other rename-less
+    object stores) cannot move directories — compact must detect that
+    BEFORE touching the live postings dir, not throw at swap time."""
+    fs, p = fs_for(parent)
+    probe = f"{p.rstrip('/')}/.dirmove_probe_{uuid.uuid4().hex[:8]}"
+    try:
+        fs.create_dir(probe, recursive=True)
+        fs.move(probe, probe + "_moved")
+        fs.delete_dir(probe + "_moved")
+        return True
+    except (OSError, NotImplementedError):
+        for leftover in (probe, probe + "_moved"):
+            try:
+                fs.delete_dir(leftover)
+            except (OSError, FileNotFoundError):
+                pass
+        return False
+
+
 def fs_read_bytes(path: str) -> bytes:
     fs, p = fs_for(path)
     with fs.open_input_stream(p) as f:
@@ -138,6 +205,53 @@ def fs_rmdir(path: str) -> None:
         fs.delete_dir(p)
     except FileNotFoundError:
         pass
+
+
+_SWAP_JOURNAL = "swap_journal.json"
+
+
+def write_swap_journal(index_dir: str, tag: str, lives: list[str]) -> None:
+    """Journal a pending compact swap so a crash inside fs_swap_dir's
+    non-atomic rename pair is auto-recoverable: the journal names the live
+    dirs being swapped and the retired tag, and ``recover_swap`` (run on
+    every IndexMeta.load) replays the repair instead of leaving the index
+    with no live postings dir until a human renames retired_* back."""
+    fs_write_bytes_atomic(
+        index_dir.rstrip("/") + "/" + _SWAP_JOURNAL,
+        json.dumps({"tag": tag, "lives": lives}).encode(),
+    )
+
+
+def clear_swap_journal(index_dir: str) -> None:
+    fs_delete_file(index_dir.rstrip("/") + "/" + _SWAP_JOURNAL)
+
+
+def recover_swap(index_dir: str) -> bool:
+    """If a swap journal exists, repair each journaled live dir and remove
+    the journal. Per dir (states are unambiguous because fs_swap_dir only
+    creates retired_* by moving the live dir away):
+
+      * retired exists, live missing  -> crashed between the two renames:
+        move retired back (it holds the complete old contents).
+      * retired exists, live exists   -> both renames completed but cleanup
+        did not: the new data is live, delete retired.
+      * no retired                    -> swap never started (or finished and
+        cleaned): nothing to do.
+
+    Returns True when a journal was found (i.e. repair ran)."""
+    jpath = index_dir.rstrip("/") + "/" + _SWAP_JOURNAL
+    if not fs_exists(jpath):
+        return False
+    j = json.loads(fs_read_bytes(jpath))
+    for live in j["lives"]:
+        retired = f"{live}_retired_{j['tag']}"
+        if fs_exists(retired):
+            if fs_exists(live):
+                fs_rmdir(retired)
+            else:
+                fs_move(retired, live)
+    fs_delete_file(jpath)
+    return True
 
 
 def append_manifest(spark: SparkSession, index_dir: str, rows: list[tuple]) -> None:

@@ -141,6 +141,147 @@ def test_semi_join_pushdown_matches_isin(spark, tmp_path, monkeypatch):
     assert key(base) == key(semi)
 
 
+# --------------------------------- CLI search --rerank geodesic (E1 surface)
+
+def test_cli_search_rerank_geodesic(spark, tmp_path, capsys):
+    """End-to-end smoke of the user-facing reranked search (reference E1,
+    /root/reference/geoIR/cli.py:39-61): build an index, point --embeddings
+    at a parquet, and assert the (doc_id, bm25, geo_dist, rank) output shape
+    plus the missing---embeddings SystemExit (VERDICT r4 Missing #1)."""
+    from geometric_aware_retrieval_v2_spark import cli
+    from geometric_aware_retrieval_v2_spark.functions.hashing import embed_text
+    from tests.test_sources_cli import SMALL_CORPUS
+
+    inp = str(tmp_path / "corpus.parquet")
+    spark.createDataFrame(
+        list(enumerate(SMALL_CORPUS)), schema="doc_id long, content string"
+    ).write.parquet(inp)
+    emb_path = str(tmp_path / "emb.parquet")
+    spark.createDataFrame(
+        [(i, embed_text(t).tolist()) for i, t in enumerate(SMALL_CORPUS)],
+        schema="vec_id long, embedding array<double>",
+    ).write.parquet(emb_path)
+    index = str(tmp_path / "geo_idx")
+    assert cli.main(
+        ["build-index", "--input", inp, "--index", index,
+         "--partitions", "2", "--shards", "2", "--tokenizer", "ws"],
+        spark=spark,
+    ) == 0
+    capsys.readouterr()
+
+    rc = cli.main(
+        ["search", "--index", index, "--query", "man riding horse", "--k", "3",
+         "--rerank", "geodesic", "--embeddings", emb_path, "--search-k", "6"],
+        spark=spark,
+    )
+    assert rc == 0
+    hits = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert hits and sorted(hits[0]) == ["bm25", "doc_id", "geo_dist", "rank"]
+    assert [h["rank"] for h in hits] == list(range(1, len(hits) + 1))
+    # the rank-1 hit must be one of the two horse-riding docs
+    assert hits[0]["doc_id"] in (3, 5)
+    assert all(isinstance(h["bm25"], float) and isinstance(h["geo_dist"], float)
+               for h in hits)
+
+    with pytest.raises(SystemExit):
+        cli.main(
+            ["search", "--index", index, "--query", "man riding horse",
+             "--rerank", "geodesic"],
+            spark=spark,
+        )
+
+
+# --------------------------------- compact swap journal + object-store guard
+
+def test_swap_journal_crash_recovery(spark, tmp_path):
+    """A crash between fs_swap_dir's two renames (live moved to retired_*,
+    staged not yet moved in) must self-heal on the next IndexMeta.load via
+    the swap journal — no manual retired_* rename (ADVICE r4 manifest.py)."""
+    import os
+    import shutil
+
+    from geometric_aware_retrieval_v2_spark.operators import index as ix
+    from geometric_aware_retrieval_v2_spark.plans import manifest as mf
+    from tests.test_sources_cli import SMALL_CORPUS
+
+    docs = spark.createDataFrame(
+        list(enumerate(SMALL_CORPUS)), schema="doc_id long, content string"
+    )
+    d = str(tmp_path / "jidx")
+    ix.build_index(spark, docs, d, n_partitions=2, n_shards=2, block_size=8)
+    # atomic meta write leaves no staging residue
+    assert not os.path.exists(f"{d}/meta.json.tmp")
+    q = spark.createDataFrame([(0, "man riding horse")], schema="qid long, text string")
+    before = sorted(
+        (r.qid, r.rank, r.doc_id, r.score)
+        for r in ix.bm25_topk_indexed(spark, d, q, k=3).collect()
+    )
+
+    # simulate the mid-swap crash state: journal written, postings retired,
+    # staged dir still present under its compacted name
+    tag = "deadbeef"
+    mf.write_swap_journal(d, tag, [f"{d}/postings", f"{d}/dictionary"])
+    shutil.copytree(f"{d}/postings", f"{d}/postings_compacted")
+    shutil.move(f"{d}/postings", f"{d}/postings_retired_{tag}")
+    assert not os.path.isdir(f"{d}/postings")
+
+    ix.IndexMeta.load(d)  # triggers recover_swap
+    assert os.path.isdir(f"{d}/postings")
+    assert not os.path.isdir(f"{d}/postings_retired_{tag}")
+    assert not os.path.exists(f"{d}/swap_journal.json")
+    after = sorted(
+        (r.qid, r.rank, r.doc_id, r.score)
+        for r in ix.bm25_topk_indexed(spark, d, q, k=3).collect()
+    )
+    assert after == before
+
+    # completed-swap-but-uncleaned state: live present, retired lingering
+    mf.write_swap_journal(d, tag, [f"{d}/dictionary"])
+    shutil.copytree(f"{d}/dictionary", f"{d}/dictionary_retired_{tag}")
+    ix.IndexMeta.load(d)
+    assert not os.path.isdir(f"{d}/dictionary_retired_{tag}")
+    assert not os.path.exists(f"{d}/swap_journal.json")
+
+
+def test_compact_fallback_without_dir_rename(spark, tmp_path, capsys, monkeypatch):
+    """On a rename-less object store compact must not touch the live dirs:
+    feature-detect first, leave the output staged, report swapped=false
+    (ADVICE r4 cli.py)."""
+    import os
+
+    from geometric_aware_retrieval_v2_spark import cli
+    from geometric_aware_retrieval_v2_spark.plans import manifest as mf
+    from tests.test_sources_cli import SMALL_CORPUS
+
+    inp = str(tmp_path / "c.parquet")
+    spark.createDataFrame(
+        list(enumerate(SMALL_CORPUS)), schema="doc_id long, content string"
+    ).write.parquet(inp)
+    index = str(tmp_path / "os_idx")
+    cli.main(
+        ["build-index", "--input", inp, "--index", index,
+         "--partitions", "2", "--shards", "2", "--tokenizer", "ws"],
+        spark=spark,
+    )
+    capsys.readouterr()
+    monkeypatch.setattr(mf, "fs_supports_dir_move", lambda p: False)
+    rc = cli.main(["compact", "--index", index], spark=spark)
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["swapped"] is False
+    assert out["output"].endswith("postings_compacted")
+    assert os.path.isdir(f"{index}/postings")           # live untouched
+    assert os.path.isdir(f"{index}/postings_compacted")  # staged output kept
+    assert not os.path.exists(f"{index}/swap_journal.json")
+    rc = cli.main(
+        ["search", "--index", index, "--query", "man riding horse", "--k", "3"],
+        spark=spark,
+    )
+    assert rc == 0
+    hits = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert hits and hits[0]["rank"] == 1
+
+
 def test_code2_index_query_tokenizer_parity(spark, tmp_path):
     """On a code2 index, query text like 'parseHTTPServer' must be tokenized
     with the index's own mode (lowercased subtokens) — a raw whitespace
