@@ -390,6 +390,22 @@ def q_ivf_topk_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_topk_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data-adaptive Lloyd's quantizer, hash-gated (VERDICT r4 #3): two
+    k-means iterations from the SQL-expressible stride init (the xxhash64
+    hash init has no DuckDB twin and stays pytest-gated), then the standard
+    IVF probe/score plan over the learned centroids. The oracle unrolls
+    both Lloyd iterations as materialized CTEs."""
+    from geometric_aware_retrieval_v2_spark.operators.simsearch import (
+        ivf_topk,
+        kmeans_centroids,
+    )
+
+    emb = _emb(spark, sf_dir)
+    cents = kmeans_centroids(emb, n_cells=16, iters=2, init="stride")
+    return ivf_topk(emb, _qvecs(spark, sf_dir), nprobe=2, k=10, centroids=cents)
+
+
 # ------------------------------------------------------------- text analysis
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -694,6 +710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "ivf_topk_fixed": q_ivf_topk_fixed,
         "ivf_topk_gemm": q_ivf_topk_gemm,
+        "ivf_topk_kmeans": q_ivf_topk_kmeans,
         # text analysis
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
@@ -753,6 +770,9 @@ def oracle_sql() -> dict[str, str]:
         "ivf_topk": oracles.ivf_topk_sql(every=50, nprobe=2, k=10),
         "ivf_topk_fixed": oracles.ivf_topk_sql(n_cells=22, nprobe=2, k=10),
         "ivf_topk_gemm": oracles.ivf_topk_sql(every=50, nprobe=2, k=10),
+        "ivf_topk_kmeans": oracles.ivf_topk_kmeans_sql(
+            n_cells=16, iters=2, nprobe=2, k=10
+        ),
         "lang_id": oracles.lang_id_sql(),
         "quality_score": oracles.quality_score_sql(),
         "token_stats": oracles.token_stats_sql(),

@@ -165,32 +165,55 @@ def kmeans_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_blocks: int = 32,
+    init: str = "hash",
 ) -> DataFrame:
     """Seeded Lloyd's spherical k-means — the data-adaptive production
     quantizer (stride picks are arbitrary w.r.t. the data distribution).
 
-    Init: the n_cells vectors with the smallest xxhash64(id, seed) — a
-    deterministic uniform sample independent of id density (works for
-    sparse/hashed id spaces where stride picking does not). Each iteration:
-    blocked-GEMM assignment (one matmul per packed block) emitting per-block
-    per-cell partial sums, a (cell, dim) sum/count reduce, then a driver-side
-    renormalize of the (n_cells x d) table — O(n * n_cells * d) work and one
-    small shuffle per iteration, n_cells rows collected. Empty cells keep
-    their previous centroid. Returns (cell, cvec) like the other quantizers;
-    plug into assign_ivf / assign_ivf_gemm unchanged."""
+    Init (``init=``):
+      * 'hash' (default) — the n_cells vectors with the smallest
+        xxhash64(id, seed): a deterministic uniform sample independent of id
+        density (works for sparse/hashed id spaces where stride picking does
+        not).
+      * 'stride' — the centroids_fixed picks (every ceil(n/n_cells)-th id).
+        SQL-expressible, so the driver gate can unroll the Lloyd iterations
+        as a DuckDB oracle (xxhash64 has no DuckDB twin); the iteration
+        machinery being gated is identical for both inits.
+
+    Each iteration: blocked-GEMM assignment (one matmul per packed block)
+    emitting per-block per-cell partial sums, a (cell, dim) sum/count
+    reduce, then a driver-side renormalize of the (n_cells x d) table —
+    O(n * n_cells * d) work and one small shuffle per iteration, n_cells
+    rows collected. Assignment sims are rounded HALF_UP at
+    RANK_KEY_DECIMALS with ties to the lowest cell — the same key policy as
+    assign_ivf/assign_ivf_gemm, which pins bit-parity with the SQL oracle's
+    round(cos, 9) window. Empty cells keep their previous centroid. Returns
+    (cell, cvec) like the other quantizers; plug into assign_ivf /
+    assign_ivf_gemm unchanged."""
     from geometric_aware_retrieval_v2_spark.operators.knn import _pack_blocks
 
     spark = emb.sparkSession
-    init = (
-        emb.select(
-            F.col(id_col),
-            F.col(vec_col).cast("array<double>").alias("cvec"),
-            F.xxhash64(F.col(id_col), F.lit(seed)).alias("h"),
+    if init == "stride":
+        rows = (
+            centroids_fixed(emb, n_cells, id_col=id_col, vec_col=vec_col)
+            .orderBy("cell")
+            .select("cvec")
+            .collect()
         )
-        .orderBy("h", id_col)
-        .limit(n_cells)
-    )
-    rows = init.select("cvec").collect()
+    elif init == "hash":
+        rows = (
+            emb.select(
+                F.col(id_col),
+                F.col(vec_col).cast("array<double>").alias("cvec"),
+                F.xxhash64(F.col(id_col), F.lit(seed)).alias("h"),
+            )
+            .orderBy("h", id_col)
+            .limit(n_cells)
+            .select("cvec")
+            .collect()
+        )
+    else:
+        raise ValueError(f"unknown init: {init}")
     C = np.asarray([r.cvec for r in rows], dtype=np.float64)
     C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-30)
     k, d = C.shape
@@ -207,7 +230,18 @@ def kmeans_centroids(
                         An = A / np.maximum(
                             np.linalg.norm(A, axis=1, keepdims=True), 1e-30
                         )
-                        best = np.argmax(An @ Cn.T, axis=1)
+                        sim = An @ Cn.T
+                        # HALF_UP at the rank-key precision before argmax:
+                        # ties go to the lowest cell (argmax returns the
+                        # first max; columns are in cell order) — exactly
+                        # the oracle's (round(cos,9) DESC, cell ASC) window
+                        scale = 10.0 ** RANK_KEY_DECIMALS
+                        simr = (
+                            np.floor(np.abs(sim) * scale + 0.5)
+                            / scale
+                            * np.sign(sim)
+                        )
+                        best = np.argmax(simr, axis=1)
                         cells_here = np.unique(best)
                         sums = np.zeros((len(cells_here), row.d))
                         np.add.at(sums, np.searchsorted(cells_here, best), An)
@@ -245,8 +279,11 @@ def kmeans_centroids(
     finally:
         blocks.unpersist()
 
+    # plain Python values: the non-Arrow createDataFrame path (driver
+    # sessions without spark.sql.execution.arrow enabled) rejects numpy
+    # scalars inside array<double>
     return spark.createDataFrame(
-        pd.DataFrame({"cell": np.arange(k, dtype=np.int64), "cvec": list(C)}),
+        [(int(i), row) for i, row in enumerate(C.tolist())],
         schema="cell long, cvec array<double>",
     )
 
@@ -306,9 +343,18 @@ def ivf_topk(
     n_cells: int | None = None,
     quantizer: str = "stride",
     assign_method: str = "jvm",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
-    """-> (qid, doc_id, sim, rank): ANN top-k probing nprobe cells."""
-    cents = make_centroids(emb, every, n_cells, quantizer, id_col, vec_col)
+    """-> (qid, doc_id, sim, rank): ANN top-k probing nprobe cells.
+
+    ``centroids``: a precomputed (cell, cvec) quantizer table (e.g. from
+    kmeans_centroids) — when given, the quantizer parameters are ignored and
+    the table plugs straight into assignment + probing."""
+    cents = (
+        centroids
+        if centroids is not None
+        else make_centroids(emb, every, n_cells, quantizer, id_col, vec_col)
+    )
     assign = make_assign(emb, cents, 1, assign_method, id_col, vec_col)
 
     # which cells does each query probe?

@@ -1082,6 +1082,118 @@ def ivf_topk_sql(
     """
 
 
+def _norm_list(col: str) -> str:
+    """L2-normalize a DOUBLE[] in SQL — the float64 renormalize both the
+    Lloyd kernel (np.linalg.norm) and the centroid update perform."""
+    return (
+        f"list_transform({col}, x -> x / sqrt(list_sum("
+        f"list_transform({col}, y -> y * y))))"
+    )
+
+
+def _lloyd_iter_cte(i: int) -> str:
+    """One unrolled Lloyd iteration: assignment against c{i} (the same
+    (round(cos,9) DESC, cell ASC) key the kernel's rounded argmax uses),
+    per-(cell, dim) sum of the assigned normalized vectors, re-list, then
+    renormalize — empty cells keep c{i}'s centroid via the LEFT JOIN
+    coalesce, mirroring kmeans_centroids' newC = C.copy()."""
+    return f"""
+    a{i} AS MATERIALIZED (
+      SELECT vec_id, cell FROM (
+        SELECT e.vec_id, c.cell,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY round(list_cosine_similarity(e.vn, c.cvec), 9) DESC,
+                          c.cell ASC
+               ) AS rn
+        FROM en e CROSS JOIN c{i} c
+      ) WHERE rn = 1
+    ),
+    s{i} AS MATERIALIZED (
+      SELECT cell, pos, sum(val) AS s FROM (
+        SELECT a.cell, unnest(e.vn) AS val, unnest(range(len(e.vn))) AS pos
+        FROM a{i} a JOIN en e USING (vec_id)
+      ) GROUP BY cell, pos
+    ),
+    m{i} AS MATERIALIZED (
+      SELECT cell, list(s ORDER BY pos) AS svec FROM s{i} GROUP BY cell
+    ),
+    c{i + 1} AS MATERIALIZED (
+      SELECT p.cell, coalesce({_norm_list("m.svec")}, p.cvec) AS cvec
+      FROM c{i} p LEFT JOIN m{i} m USING (cell)
+    )"""
+
+
+def ivf_topk_kmeans_sql(
+    n_cells: int = 16,
+    iters: int = 2,
+    nprobe: int = 2,
+    k: int = 10,
+    n_queries: int = 10,
+) -> str:
+    """Oracle for ivf_topk over kmeans_centroids(init='stride', iters=N):
+    the Lloyd iterations unrolled as materialized CTEs (the 20-step PPR
+    unroll proved the pattern). Init = the centroids_fixed stride picks,
+    L2-normalized; each iteration assigns every normalized vector to its
+    nearest centroid on the (round(cos,9) DESC, cell ASC) key and replaces
+    each non-empty cell's centroid with the normalized mean of its members.
+    The final probe/score stage is the standard ivf_topk oracle against the
+    learned centroid table."""
+    iter_ctes = ",".join(_lloyd_iter_cte(i) for i in range(iters))
+    cf = f"c{iters}"
+    return f"""
+    WITH st AS (
+      SELECT CAST(CEIL(COUNT(*) * 1.0 / {n_cells}) AS BIGINT) AS stride
+      FROM ({EMB})
+    ),
+    en AS MATERIALIZED (
+      SELECT vec_id, {_norm_list("v")} AS vn FROM ({EMB})
+    ),
+    c0 AS MATERIALIZED (
+      SELECT (e.vec_id / st.stride)::BIGINT AS cell, {_norm_list("e.v")} AS cvec
+      FROM ({EMB}) e, st WHERE e.vec_id % st.stride = 0
+    ),
+    {iter_ctes},
+    q AS (SELECT vec_id AS qid, v AS qv FROM ({EMB}) WHERE vec_id < {n_queries}),
+    assign AS MATERIALIZED (
+      SELECT vec_id, cell FROM (
+        SELECT e.vec_id, c.cell,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY round(list_cosine_similarity(e.v, c.cvec), 9) DESC,
+                          c.cell ASC
+               ) AS rn
+        FROM ({EMB}) e CROSS JOIN {cf} c
+      ) WHERE rn = 1
+    ),
+    qcells AS (
+      SELECT qid, cell FROM (
+        SELECT q.qid, c.cell,
+               row_number() OVER (
+                 PARTITION BY q.qid
+                 ORDER BY round(list_cosine_similarity(q.qv, c.cvec), 9) DESC,
+                          c.cell ASC
+               ) AS rn
+        FROM q CROSS JOIN {cf} c
+      ) WHERE rn <= {nprobe}
+    ),
+    scored AS (
+      SELECT qc.qid, a.vec_id AS doc_id, list_cosine_similarity(e.v, q.qv) AS cos
+      FROM qcells qc
+      JOIN assign a ON a.cell = qc.cell
+      JOIN ({EMB}) e ON e.vec_id = a.vec_id
+      JOIN q ON q.qid = qc.qid
+    )
+    SELECT qid, doc_id, round(cos, 6) AS sim, rank FROM (
+      SELECT qid, doc_id, cos,
+             row_number() OVER (
+               PARTITION BY qid ORDER BY round(cos, 9) DESC, doc_id ASC
+             ) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
 # ------------------------------------------------------------ text analysis
 
 _LEX = {

@@ -94,6 +94,27 @@ def test_kmeans_reduces_distortion_and_is_deterministic(spark, emb):
     assert np.allclose(C3, again, atol=1e-9)
 
 
+def test_kmeans_stride_init_matches_fixed_picks(spark, emb):
+    """init='stride' (the SQL-expressible init behind the ivf_topk_kmeans
+    driver gate) must start Lloyd from exactly the centroids_fixed picks,
+    relabeled 0..k-1, L2-normalized — and stay deterministic."""
+    n_cells = 16
+    picks = np.asarray(
+        [r.cvec for r in centroids_fixed(emb, n_cells).orderBy("cell").collect()],
+        dtype=np.float64,
+    )
+    picks = picks / np.linalg.norm(picks, axis=1, keepdims=True)
+    c0 = kmeans_centroids(emb, n_cells, iters=0, init="stride")
+    got = np.asarray([r.cvec for r in c0.orderBy("cell").collect()])
+    assert [r.cell for r in c0.orderBy("cell").collect()] == list(range(len(picks)))
+    assert np.allclose(got, picks, atol=1e-12)
+    a = kmeans_centroids(emb, n_cells, iters=2, init="stride").orderBy("cell").collect()
+    b = kmeans_centroids(emb, n_cells, iters=2, init="stride").orderBy("cell").collect()
+    assert [r.cvec for r in a] == [r.cvec for r in b]
+    with pytest.raises(ValueError):
+        kmeans_centroids(emb, n_cells, init="nope")
+
+
 def test_ivf_topk_fixed_gemm_recall(spark, emb):
     """Production configuration (fixed n_cells + GEMM assignment) must beat
     the random-coverage baseline decisively. The driver embeddings are
