@@ -40,6 +40,51 @@ def test_flagship_indexed_matches_exhaustive(spark):
     assert key(exh) == key(idx)
 
 
+def test_flagship_rank_identity_at_search_k_1000(spark, tmp_path):
+    """The reference's geodesic default is search_k=1000
+    (/root/reference/geoIR/retrieval/index.py:171-177); the driver gates run
+    at 100. Pin rank-identity of the indexed vs exhaustive flagship at the
+    full default depth (VERDICT r4 #4) — the sf0.01 corpus caps candidate
+    pools at 500 docs/query here; the m=1000 regime is timed at sf0.1 in
+    BENCH/BASELINE.md."""
+    from pyspark.sql import functions as F
+
+    from geometric_aware_retrieval_v2_spark.operators.index import build_index
+    from geometric_aware_retrieval_v2_spark.operators.pipelines import (
+        bm25_geodesic,
+        bm25_geodesic_indexed,
+    )
+    from geometric_aware_retrieval_v2_spark.queryset import queries_df
+    from geometric_aware_retrieval_v2_spark.sources.tables import (
+        docs_from_documents,
+        load_table,
+    )
+    from tests.conftest import SF_CORRECTNESS
+
+    docs = docs_from_documents(spark, SF_CORRECTNESS)
+    emb = load_table(spark, SF_CORRECTNESS, "embeddings")
+    q = queries_df(spark)
+    idx = str(tmp_path / "sk1000_idx")
+    build_index(spark, docs, idx, n_partitions=2, n_shards=8, block_size=128)
+
+    exh = bm25_geodesic(spark, docs, emb, q, k=10, search_k=1000).collect()
+    ind = bm25_geodesic_indexed(spark, idx, emb, q, k=10, search_k=1000).collect()
+
+    def key(rows):
+        return sorted((r.qid, r.rank, r.doc_id, r.bm25, r.geo_dist) for r in rows)
+
+    assert len(exh) > 0
+    assert key(exh) == key(ind)
+    # candidate pools really exceed the gate depth (search_k=100 regime)
+    from geometric_aware_retrieval_v2_spark.operators.index import bm25_topk_indexed
+
+    pools = (
+        bm25_topk_indexed(spark, idx, q, k=1000)
+        .groupBy("qid").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert pools > 100
+
+
 # ------------------------------------------------ exact dedup, non-vacuous
 
 def test_exact_dedup_positive(spark):
