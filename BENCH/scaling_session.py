@@ -57,6 +57,30 @@ def cpu_control() -> float:
     return time.monotonic() - t0
 
 
+def multi_control() -> float:
+    """8-way concurrent probe median (bench.cpu_control_reading): the ONLY
+    control that detects this VM's aggregate-capacity throttle phases —
+    round-4 controls proved single-thread probes stay at calibration while
+    co-scheduled multi-core throughput drops ~4x."""
+    sys.path.insert(0, str(REPO))
+    from bench import cpu_control_reading
+
+    return cpu_control_reading()["multi8_med"]
+
+
+def wait_quiet_multi(threshold: float = 1.2, max_probes: int = 8,
+                     sleep_sec: float = 45.0) -> float:
+    """Bounded wait for a quiet window on the multi-core control; returns
+    the last reading (caller records it — legs run regardless after the
+    budget, marked by their reading)."""
+    for _ in range(max_probes):
+        m = multi_control()
+        if m <= threshold:
+            return m
+        time.sleep(sleep_sec)
+    return m
+
+
 def leg_env(cpus: int) -> dict:
     return dict(
         os.environ,
@@ -90,9 +114,13 @@ def append_session(rec: dict) -> None:
 
 
 # ---------------------------------------------------------------- sequential
-def run_seq(pairs: int, lo: int, hi: int, label: str) -> None:
+def run_seq(pairs: int, lo: int, hi: int, label: str,
+            quiet_gate: bool = False) -> None:
     """Alternating (lo,hi) build-only legs; order flips each pair so slow VM
-    drift cannot systematically favor one level."""
+    drift cannot systematically favor one level. With ``quiet_gate`` every
+    leg additionally waits (bounded) for the MULTI-core control to read
+    quiet — the round-5 instrument for throttle phases that single-thread
+    probes cannot see — and records its pre/post readings."""
     calib = statistics.median(cpu_control() for _ in range(5))
     legs: list[dict] = []
     core_of = {lo: f"0-{lo - 1}", hi: f"0-{hi - 1}"}
@@ -100,15 +128,21 @@ def run_seq(pairs: int, lo: int, hi: int, label: str) -> None:
         order = (lo, hi) if p % 2 == 0 else (hi, lo)
         for cpus in order:
             time.sleep(10)
+            mctl_pre = (
+                wait_quiet_multi() if quiet_gate else multi_control()
+            )
             ctl_pre = cpu_control()
             rec = run_leg(cpus, core_of[cpus])
             ctl_post = cpu_control()
+            mctl_post = multi_control()
             rec.update(ctl_pre=round(ctl_pre, 3), ctl_post=round(ctl_post, 3),
+                       mctl_pre=round(mctl_pre, 3), mctl_post=round(mctl_post, 3),
                        pair=p, mode="seq", label=label, calib=round(calib, 3))
             legs.append(rec)
             print(json.dumps({k: rec[k] for k in
                               ("cpus", "files_per_sec", "build_sec", "ctl_pre",
-                               "ctl_post", "pair")}), flush=True)
+                               "ctl_post", "mctl_pre", "mctl_post", "pair")}),
+                  flush=True)
     ratio = hi // lo
     pair_effs = []
     for p in range(pairs):
@@ -121,11 +155,15 @@ def run_seq(pairs: int, lo: int, hi: int, label: str) -> None:
     quiet = all(
         max(r["ctl_pre"], r["ctl_post"]) <= 1.6 * calib for r in legs
     )
+    multi_quiet = all(
+        max(r["mctl_pre"], r["mctl_post"]) <= 1.2 for r in legs
+    )
     summary = dict(mode="seq", label=label, lo=lo, hi=hi, n_files=N_FILES,
                    calib=round(calib, 3), legs=legs, pair_effs=pair_effs,
                    pair_eff_median=round(statistics.median(pair_effs), 3),
                    eff_of_medians=round(med_hi / (ratio * med_lo), 3),
-                   med_lo=med_lo, med_hi=med_hi, all_quiet=quiet)
+                   med_lo=med_lo, med_hi=med_hi, all_quiet=quiet,
+                   all_multi_quiet=multi_quiet)
     append_session(summary)
     print(json.dumps({k: summary[k] for k in
                       ("label", "pair_effs", "pair_eff_median", "eff_of_medians",
@@ -206,6 +244,8 @@ if __name__ == "__main__":
     s.add_argument("--lo", type=int, default=2)
     s.add_argument("--hi", type=int, default=8)
     s.add_argument("--label", default="seq")
+    s.add_argument("--quiet-gate", action="store_true",
+                   help="wait (bounded) for the multi-core control before each leg")
     w = sub.add_parser("window")
     w.add_argument("--window", type=int, default=900)
     w.add_argument("--lo", type=int, default=2)
@@ -218,7 +258,8 @@ if __name__ == "__main__":
     l.add_argument("--out", required=True)
     args = ap.parse_args()
     if args.cmd == "seq":
-        run_seq(args.pairs, args.lo, args.hi, args.label)
+        run_seq(args.pairs, args.lo, args.hi, args.label,
+                quiet_gate=args.quiet_gate)
     elif args.cmd == "window":
         run_window(args.window, args.lo, args.hi, args.label)
     else:

@@ -39,6 +39,111 @@ if str(REPO) not in sys.path:
 SF_DIR_DEFAULT = "/root/testdata/sf0.1"
 FILES_PER_SF = 500_000  # sf0.1 -> 50k synthetic source files
 
+# ---------------------------------------------------------------- calibration
+#
+# This VM throttles AGGREGATE multi-core demand in phases flipping on the
+# minutes timescale (round-4 controls: two co-scheduled pinned 8-core builds
+# each ran ~860 files/s vs 2700-3750 solo while single-thread probes stayed
+# at calibration; 16 parallel single-thread probes read ~15 s each vs 0.3 s
+# solo). A single-thread control therefore CANNOT gate the driver bench —
+# the round-4 artifact recorded a throttle phase (build 2.24x down) behind
+# green solo probes. The detector here is the round-4 finding inverted:
+# N concurrent single-thread probes read ~solo time in a quiet window and
+# ~10-20x solo in a throttle phase.
+
+_PROBE_SRC = """
+import time, numpy as np
+a = np.random.default_rng(0).standard_normal(4_000_000)
+for _ in range(2):
+    a = np.sort(a) * 1.0000001
+t0 = time.monotonic()
+for _ in range(4):
+    b = np.sort(a)
+    a = b * 1.0000001 + np.roll(b, 1)
+print(time.monotonic() - t0)
+"""
+
+# quiet-window criterion for the 8-way probe median, seconds. Quiet-phase
+# readings on this host are 0.3-0.6 (32 vCPUs, 8 procs do not contend);
+# throttle phases read 3-15. Absolute on purpose: solo probes stay FAST in
+# throttle phases, so a relative-to-solo threshold would wave them through.
+_MULTI_PROBE_QUIET_SEC = 1.2
+
+
+def _probe_solo() -> float:
+    out = subprocess.run(
+        [sys.executable, "-c", _PROBE_SRC], capture_output=True, text=True
+    )
+    return float(out.stdout.strip())
+
+
+def _probe_multi(n_procs: int = 8) -> list[float]:
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", _PROBE_SRC], stdout=subprocess.PIPE, text=True
+        )
+        for _ in range(n_procs)
+    ]
+    return [float(p.communicate()[0].strip()) for p in procs]
+
+
+def cpu_control_reading() -> dict:
+    solos = [_probe_solo() for _ in range(2)]
+    multi = _probe_multi(8)
+    med = round(statistics.median(multi), 3)
+    return {
+        "solo": [round(s, 3) for s in solos],
+        "multi8": [round(m, 3) for m in multi],
+        "multi8_med": med,
+        "quiet": med <= _MULTI_PROBE_QUIET_SEC,
+    }
+
+
+def wait_for_quiet(max_probes: int, sleep_sec: float = 40.0) -> list[dict]:
+    """Probe until a quiet window (bounded): returns every reading taken.
+    A gate that blocks forever measures the gate, not the engine — after
+    the budget the caller proceeds and the readings mark the run degraded."""
+    readings = []
+    for i in range(max_probes):
+        r = cpu_control_reading()
+        readings.append(r)
+        print(json.dumps({"probe": i, **r}), file=sys.stderr, flush=True)
+        if r["quiet"]:
+            break
+        time.sleep(sleep_sec)
+    return readings
+
+
+def run_bench_calibrated(sf_dir: str, cpus: int,
+                         n_files_override: int | None = None) -> dict:
+    """Driver-bench wrapper: gate each attempt on the multi-core CPU control
+    (pre + post), retry once if the window went bad mid-run, and stamp every
+    probe reading into the artifact so a future reader can audit whether the
+    recorded number is the engine or the phase lottery (VERDICT r4 #1)."""
+    max_attempts = int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPTS", "2"))
+    deadline = time.monotonic() + float(
+        os.environ.get("SPARK_GRAFT_BENCH_DEADLINE_SEC", "1500")
+    )
+    attempts: list[dict] = []
+    for attempt in range(max_attempts):
+        pre = wait_for_quiet(max_probes=4)
+        res = run_bench(sf_dir, cpus, n_files_override)
+        post = cpu_control_reading()
+        quiet = pre[-1]["quiet"] and post["quiet"]
+        res["cpu_control"] = {
+            "pre": pre, "post": post, "quiet_window": quiet,
+            "attempt": attempt, "threshold_sec": _MULTI_PROBE_QUIET_SEC,
+        }
+        attempts.append(res)
+        if quiet or time.monotonic() > deadline:
+            break
+    best = max(
+        attempts,
+        key=lambda r: (r["cpu_control"]["quiet_window"], r["files_per_sec"]),
+    )
+    best["cpu_control"]["n_attempts"] = len(attempts)
+    return best
+
 
 def _sf_from_dir(sf_dir: str) -> float:
     name = os.path.basename(os.path.normpath(sf_dir))
@@ -364,4 +469,12 @@ if __name__ == "__main__":
     else:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
         n_override = os.environ.get("SPARK_GRAFT_BENCH_FILES")
-        print(json.dumps(run_bench(sf_dir, cpus, int(n_override) if n_override else None)))
+        n_files = int(n_override) if n_override else None
+        if os.environ.get("SPARK_GRAFT_BENCH_BUILD_ONLY") or os.environ.get(
+            "SPARK_GRAFT_BENCH_NO_PROBE"
+        ):
+            # scaling legs carry their own ctl_pre/ctl_post probes and must
+            # stay identical work per leg — no probe gating inside the leg
+            print(json.dumps(run_bench(sf_dir, cpus, n_files)))
+        else:
+            print(json.dumps(run_bench_calibrated(sf_dir, cpus, n_files)))
