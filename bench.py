@@ -18,6 +18,12 @@ Prints ONE JSON line:
 Scaling-efficiency evidence (local[8] vs local[32]) is produced by
 ``python bench.py --scaling``, which re-execs this script at both
 parallelism levels and writes BENCH/BASELINE.md.
+
+The driver-bench path is gated on a MULTI-core CPU control (8 concurrent
+single-thread probes; see run_bench_calibrated): this VM throttles
+aggregate multi-core demand in minutes-long phases that single-thread
+probes cannot see, and the recorded artifact must reflect the engine, not
+the phase lottery. Probe readings are stamped into the output JSON.
 """
 
 from __future__ import annotations
