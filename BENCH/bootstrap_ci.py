@@ -1,0 +1,105 @@
+#!/usr/bin/env python
+"""Bootstrap CIs on the pooled sequential scaling-pair pool (B11 evidence).
+
+Reads BENCH/sessions.jsonl, pools every seq-mode 2v8 200k-file session's
+per-pair efficiencies plus the per-leg throughputs, and reports:
+
+  * pair-median 95%/90% bootstrap CI (resample pairs with replacement),
+  * pooled-level-medians efficiency (median hi / (4 x median lo)) and its
+    bootstrap CI (resample legs per level independently),
+  * P(pair median >= 0.8) under the bootstrap distribution.
+
+Deterministic (seeded) so the reported numbers are reproducible:
+    python BENCH/bootstrap_ci.py [--seed 20260817] [--n 100000]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import statistics
+from pathlib import Path
+
+import numpy as np
+
+SESSIONS = Path(__file__).resolve().parent / "sessions.jsonl"
+
+
+def load_pool() -> tuple[list[float], list[float], list[float], list[str]]:
+    pair_effs: list[float] = []
+    lo_legs: list[float] = []
+    hi_legs: list[float] = []
+    labels: list[str] = []
+    with open(SESSIONS) as f:
+        for line in f:
+            if not line.strip():
+                continue
+            rec = json.loads(line)
+            if rec.get("mode") != "seq" or (rec.get("lo"), rec.get("hi")) != (2, 8):
+                continue
+            if rec.get("n_files") != 200_000:
+                continue
+            # equal-exposure sessions (lo_files != hi_files) are a different
+            # instrument — reported separately, not pooled with the
+            # constant-corpus pairs
+            if rec.get("lo_files", 200_000) != rec.get("hi_files", 200_000):
+                continue
+            pair_effs.extend(rec["pair_effs"])
+            labels.append(rec.get("label", "?"))
+            for leg in rec.get("legs", []):
+                (lo_legs if leg["cpus"] == 2 else hi_legs).append(
+                    leg["files_per_sec"]
+                )
+    return pair_effs, lo_legs, hi_legs, labels
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seed", type=int, default=20260817)
+    ap.add_argument("--n", type=int, default=100_000)
+    args = ap.parse_args()
+
+    pair_effs, lo_legs, hi_legs, labels = load_pool()
+    rng = np.random.default_rng(args.seed)
+    pe = np.array(pair_effs)
+    lo = np.array(lo_legs)
+    hi = np.array(hi_legs)
+
+    med_boot = np.median(
+        pe[rng.integers(0, len(pe), size=(args.n, len(pe)))], axis=1
+    )
+    pooled_boot = np.median(
+        hi[rng.integers(0, len(hi), size=(args.n, len(hi)))], axis=1
+    ) / (4.0 * np.median(
+        lo[rng.integers(0, len(lo), size=(args.n, len(lo)))], axis=1
+    ))
+
+    def ci(a: np.ndarray, lvl: float) -> list[float]:
+        q = (1 - lvl) / 2
+        return [round(float(np.quantile(a, q)), 3),
+                round(float(np.quantile(a, 1 - q)), 3)]
+
+    out = {
+        "sessions": labels,
+        "n_pairs": len(pair_effs),
+        "pair_effs_sorted": sorted(round(x, 3) for x in pair_effs),
+        "pair_median": round(statistics.median(pair_effs), 3),
+        "pair_mean": round(statistics.mean(pair_effs), 3),
+        "pair_median_ci95": ci(med_boot, 0.95),
+        "pair_median_ci90": ci(med_boot, 0.90),
+        "p_pair_median_ge_0.8": round(float((med_boot >= 0.8).mean()), 3),
+        "pooled_medians_eff": round(
+            statistics.median(hi_legs) / (4 * statistics.median(lo_legs)), 3
+        ),
+        "pooled_medians_ci95": ci(pooled_boot, 0.95),
+        "pooled_medians_ci90": ci(pooled_boot, 0.90),
+        "p_pooled_ge_0.8": round(float((pooled_boot >= 0.8).mean()), 3),
+        "med_lo": round(statistics.median(lo_legs), 1),
+        "med_hi": round(statistics.median(hi_legs), 1),
+        "seed": args.seed,
+        "n_resamples": args.n,
+    }
+    print(json.dumps(out, indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -81,24 +81,57 @@ def wait_quiet_multi(threshold: float = 1.2, max_probes: int = 8,
     return m
 
 
-def leg_env(cpus: int) -> dict:
+def corpus_dir_for(n_files: int) -> str:
+    """Per-size shared corpus dir; the 200k default keeps its historical
+    path so existing sessions.jsonl records stay comparable."""
+    if n_files == 200_000 and os.path.isdir(CORPUS):
+        return CORPUS
+    return f"/tmp/gar2_shared_corpus_{n_files // 1000}k"
+
+
+def ensure_corpus(n_files: int) -> str:
+    """Pre-generate (once, OUTSIDE any timed leg) the deterministic corpus
+    for ``n_files`` so legs measure index build only."""
+    path = corpus_dir_for(n_files)
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+    sys.path.insert(0, str(REPO))
+    from geometric_aware_retrieval_v2_spark.session import get_spark
+    from geometric_aware_retrieval_v2_spark.sources.corpus import (
+        corpus_to_docs,
+        synth_corpus_files,
+    )
+
+    spark = get_spark(app_name=f"gen-corpus-{n_files}", master="local[16]",
+                      shuffle_partitions=16)
+    corpus_to_docs(
+        synth_corpus_files(spark, n_files, partitions=16)
+    ).write.mode("overwrite").parquet(path)
+    spark.stop()
+    return path
+
+
+def leg_env(cpus: int, n_files: int | None = None,
+            corpus: str | None = None) -> dict:
     return dict(
         os.environ,
         SPARK_GRAFT_CPUS=str(cpus),
         SPARK_GRAFT_SF_DIR=SF_DIR,
-        SPARK_GRAFT_BENCH_FILES=str(N_FILES),
+        SPARK_GRAFT_BENCH_FILES=str(n_files or N_FILES),
         SPARK_GRAFT_BENCH_BUILD_ONLY="1",
-        SPARK_GRAFT_BENCH_CORPUS_DIR=CORPUS,
+        SPARK_GRAFT_BENCH_CORPUS_DIR=corpus or CORPUS,
     )
 
 
-def run_leg(cpus: int, cores: str) -> dict:
+def run_leg(cpus: int, cores: str, n_files: int | None = None,
+            corpus: str | None = None) -> dict:
     cmd = [sys.executable, str(BENCH_PY)]
     taskset = shutil.which("taskset")
     if taskset:
         cmd = [taskset, "-c", cores] + cmd
     t_start = time.time()
-    out = subprocess.run(cmd, env=leg_env(cpus), capture_output=True, text=True,
+    out = subprocess.run(cmd, env=leg_env(cpus, n_files, corpus),
+                         capture_output=True, text=True,
                          timeout=7200)
     t_end = time.time()
     line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
@@ -115,12 +148,26 @@ def append_session(rec: dict) -> None:
 
 # ---------------------------------------------------------------- sequential
 def run_seq(pairs: int, lo: int, hi: int, label: str,
-            quiet_gate: bool = False) -> None:
+            quiet_gate: bool = False,
+            lo_files: int | None = None, hi_files: int | None = None) -> None:
     """Alternating (lo,hi) build-only legs; order flips each pair so slow VM
     drift cannot systematically favor one level. With ``quiet_gate`` every
     leg additionally waits (bounded) for the MULTI-core control to read
     quiet — the round-5 instrument for throttle phases that single-thread
-    probes cannot see — and records its pre/post readings."""
+    probes cannot see — and records its pre/post readings.
+
+    ``lo_files``/``hi_files`` enable the EQUAL-EXPOSURE variant (round 5):
+    with a single corpus size the lo leg runs ~(hi/lo)x longer than the hi
+    leg, so minutes-scale throttle phases are integrated asymmetrically —
+    session K showed this can bias pairs super-linear (long lo legs eat
+    whole throttle phases that short hi legs dodge). Sizing the corpora so
+    build WALL TIME matches per level (e.g. lo=100k, hi=400k at 2v8 cores)
+    gives both legs the same phase exposure; efficiency stays
+    tp_hi / (ratio * tp_lo) since throughput is files/sec regardless of
+    corpus length (fixed per-build overhead ~5-8 s is an equal share of
+    equal wall times)."""
+    files_of = {lo: lo_files or N_FILES, hi: hi_files or N_FILES}
+    corpus_of = {c: ensure_corpus(f) for c, f in files_of.items()}
     calib = statistics.median(cpu_control() for _ in range(5))
     legs: list[dict] = []
     core_of = {lo: f"0-{lo - 1}", hi: f"0-{hi - 1}"}
@@ -132,7 +179,7 @@ def run_seq(pairs: int, lo: int, hi: int, label: str,
                 wait_quiet_multi() if quiet_gate else multi_control()
             )
             ctl_pre = cpu_control()
-            rec = run_leg(cpus, core_of[cpus])
+            rec = run_leg(cpus, core_of[cpus], files_of[cpus], corpus_of[cpus])
             ctl_post = cpu_control()
             mctl_post = multi_control()
             rec.update(ctl_pre=round(ctl_pre, 3), ctl_post=round(ctl_post, 3),
@@ -159,6 +206,7 @@ def run_seq(pairs: int, lo: int, hi: int, label: str,
         max(r["mctl_pre"], r["mctl_post"]) <= 1.2 for r in legs
     )
     summary = dict(mode="seq", label=label, lo=lo, hi=hi, n_files=N_FILES,
+                   lo_files=files_of[lo], hi_files=files_of[hi],
                    calib=round(calib, 3), legs=legs, pair_effs=pair_effs,
                    pair_eff_median=round(statistics.median(pair_effs), 3),
                    eff_of_medians=round(med_hi / (ratio * med_lo), 3),
@@ -246,6 +294,10 @@ if __name__ == "__main__":
     s.add_argument("--label", default="seq")
     s.add_argument("--quiet-gate", action="store_true",
                    help="wait (bounded) for the multi-core control before each leg")
+    s.add_argument("--lo-files", type=int, default=None,
+                   help="corpus size for the lo level (equal-exposure pairs)")
+    s.add_argument("--hi-files", type=int, default=None,
+                   help="corpus size for the hi level (equal-exposure pairs)")
     w = sub.add_parser("window")
     w.add_argument("--window", type=int, default=900)
     w.add_argument("--lo", type=int, default=2)
@@ -259,7 +311,8 @@ if __name__ == "__main__":
     args = ap.parse_args()
     if args.cmd == "seq":
         run_seq(args.pairs, args.lo, args.hi, args.label,
-                quiet_gate=args.quiet_gate)
+                quiet_gate=args.quiet_gate,
+                lo_files=args.lo_files, hi_files=args.hi_files)
     elif args.cmd == "window":
         run_window(args.window, args.lo, args.hi, args.label)
     else:
