@@ -9,7 +9,7 @@ mkdir -p "$OUT"
 log() { echo "[$(date +%H:%M:%S)] $*" >> "$OUT/watcher.log"; }
 
 log "watcher start"
-deadline=$(( $(date +%s) + 14400 ))   # give up after 4h
+deadline=$(( $(date +%s) + ${WATCH_DEADLINE_SEC:-14400} ))   # default: give up after 4h
 while true; do
   reading=$(python3 -c "
 import bench, json
