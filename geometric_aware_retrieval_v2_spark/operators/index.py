@@ -46,6 +46,7 @@ from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from geometric_aware_retrieval_v2_spark.functions.tokenizer import (
+    _terms_col,
     tokenize_terms_arrow,
 )
 from geometric_aware_retrieval_v2_spark.operators.bm25 import (
@@ -559,11 +560,79 @@ _ISIN_PUSHDOWN_MAX_TERMS = 4096
 # comfortably under Spark's 8 GB hard limit with headroom for row overhead
 _BROADCAST_PRUNE_MAX_TERMS = 16_000_000
 
+# largest interactive batch whose top-k is finished driver-side (coordinator
+# merge). Collect volume is bounded by qids x n_shards x (k + 32) rows
+_DRIVER_FINISH_MAX_QIDS = 256
 
-def _candidate_blocks(handle: IndexHandle, queries: DataFrame) -> DataFrame | None:
-    """Postings blocks for query terms, tagged with qid + idf. Returns None
-    when no query term exists in the dictionary (all-OOV early exit: a
-    zero-hit query must not pay the full scan/join/kernel plan).
+
+def _driver_finish_topk(
+    handle: IndexHandle, partial: DataFrame, k: int
+) -> DataFrame:
+    """Coordinator merge for interactive batches: collect the per-(qid, shard)
+    WAND partials (bounded: qids x shards x (k+32) rows), trim each query to
+    its k-boundary tie class, resolve ONLY the surviving ordinals against the
+    docmap via an isin-pruned scan, and rank driver-side.
+
+    This is how a search head works (the coordinator merges shard results);
+    the distributed tail it replaces joined a handful of partial rows against
+    the FULL docmap — a broadcast either way at test scale, but at 10^12 docs
+    resolving a few hundred ordinals must be a point lookup (row-group stat
+    skipping on the ord column), not a docmap-wide join, and the window that
+    ranked them was one more shuffle stage of pure scheduling overhead.
+
+    Parity with the distributed tail (what the 49 driver gates + the
+    indexed-vs-exhaustive pytest checks hash): kernel scores are already
+    HALF_UP-rounded at SCORE_DECIMALS by ``_score_group_kernel`` (the
+    distributed tail's F.round on them is an identity), shards hold disjoint
+    doc sets so merge is a union, and (score desc, doc_id asc) is a total
+    order — Python's sort over identical float64 values reproduces the
+    row_number window bit-for-bit.
+    """
+    rows = partial.collect()
+    by_qid: dict[int, list] = {}
+    for r in rows:
+        by_qid.setdefault(r.qid, []).append((r.score, r.ord))
+    keep: list[tuple[int, int, float]] = []
+    for qid, lst in by_qid.items():
+        scores = sorted((s for s, _ in lst), reverse=True)
+        s_k = scores[min(k, len(scores)) - 1]
+        keep.extend((qid, o, s) for s, o in lst if s >= s_k)
+    spark = handle.spark
+    if not keep:
+        return spark.createDataFrame(
+            [], schema="qid long, doc_id long, score double, rank long"
+        )
+    ords = sorted({o for _, o, _ in keep})
+    dmap = {
+        r.ord: r.doc_id
+        for r in handle.docmap.filter(F.col("ord").isin(ords))
+        .select("ord", "doc_id")
+        .collect()
+    }
+    out: list[tuple[int, int, float, int]] = []
+    for qid in sorted(by_qid):
+        cands = sorted(
+            ((s, dmap[o]) for q, o, s in keep if q == qid),
+            key=lambda t: (-t[0], t[1]),
+        )[:k]
+        out.extend(
+            (int(qid), int(d), float(s), i + 1)
+            for i, (s, d) in enumerate(cands)
+        )
+    return spark.createDataFrame(
+        out, schema="qid long, doc_id long, score double, rank long"
+    )
+
+
+def _candidate_blocks(
+    handle: IndexHandle, queries: DataFrame
+) -> tuple[DataFrame | None, list[int] | None]:
+    """Postings blocks for query terms, tagged with qid + idf.
+
+    Returns ``(cand, qids)``: ``cand`` is None when the batch tokenizes to
+    no terms at all (nothing to scan for); ``qids`` is the sorted distinct
+    qid list when the interactive probe fully materialized the batch (the
+    caller can then finish top-k resolution driver-side), else None.
 
     Query text is tokenized with the SAME mode the index was built with
     (IndexMeta.tokenizer_mode): on a code/code2 index the postings hold
@@ -574,28 +643,44 @@ def _candidate_blocks(handle: IndexHandle, queries: DataFrame) -> DataFrame | No
     Pushdown strategy (interactive path): the term_id IN (...) filter is
     pushed into the parquet scan as int min/max row-group stat skipping;
     the bytes column is read only for surviving blocks' row groups. qterms
-    and dictionary are broadcast. The collect that builds the IN list is
-    capped: a batch with more than _ISIN_PUSHDOWN_MAX_TERMS distinct terms
-    (offline scoring of huge query logs) switches to a broadcast hash
-    semi-join on term_id — no driver round-trip, no giant literal list in
-    the plan; the scan then prunes via the broadcast join instead.
+    and dictionary are broadcast. The probe that builds the IN list is ONE
+    narrow job (explode + hash + limit-collect, no shuffle): small batches
+    are fully materialized by it, so the (qid, term_id) dedupe happens in
+    Python and qt becomes a driver-local relation whose broadcast schedules
+    no extra job. On this path fixed per-job overhead is the dominant share
+    of single-query latency — the previous shape (distributed distinct +
+    collect, then a dictionary-presence probe collect) spent two shuffling
+    jobs per batch learning what one narrow job already knows. A batch that
+    overflows the cap (offline scoring of huge query logs) switches to a
+    broadcast hash semi-join on term_id — no driver round-trip, no giant
+    literal list in the plan; routing on PAIR count rather than
+    distinct-term count only moves the heuristic boundary (interactive
+    batches sit orders of magnitude below it, query logs orders above).
     """
-    qt = query_terms(queries, mode=handle.meta.tokenizer_mode).select(
-        "qid", F.xxhash64("term").alias("term_id")
-    )
-    qterm_list = [
-        r.term_id
-        for r in qt.select("term_id")
-        .distinct()
+    mode = handle.meta.tokenizer_mode
+    # coalesce(1) keeps the probe ONE job: limit-collect otherwise runs
+    # executeTake's incremental partition cascade (1, then 4x, ...) over the
+    # mostly-empty slices createDataFrame spreads a small batch across —
+    # three scheduled jobs to fetch a dozen rows. The single merged task
+    # consumes its input lazily and stops at the limit, so a huge offline
+    # log still only reads until the cap overflows.
+    pair_rows = (
+        queries.coalesce(1)
+        .select("qid", F.explode(_terms_col("text", mode)).alias("term"))
+        .filter(F.col("term") != "")
+        .select("qid", F.xxhash64("term").alias("term_id"))
         .limit(_ISIN_PUSHDOWN_MAX_TERMS + 1)
         .collect()
-    ]
+    )
     n = float(handle.meta.n_docs)
     idf = F.log(F.lit(1.0) + (F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5))
     idf_dict = F.broadcast(
         handle.dictionary.withColumn("idf", idf).select("term_id", "idf")
     )
-    if len(qterm_list) > _ISIN_PUSHDOWN_MAX_TERMS:
+    if len(pair_rows) > _ISIN_PUSHDOWN_MAX_TERMS:
+        qt = query_terms(queries, mode=mode).select(
+            "qid", F.xxhash64("term").alias("term_id")
+        )
         # large-batch path (huge offline query logs): prune the postings scan
         # with a broadcast SEMI-join on the DISTINCT term_id set only — the
         # full (qid, term_id) frame can be multi-million rows and hinting it
@@ -614,20 +699,24 @@ def _candidate_blocks(handle: IndexHandle, queries: DataFrame) -> DataFrame | No
         )
         prune_side = F.broadcast(qterms_distinct) if small else qterms_distinct
         pruned = handle.postings.join(prune_side, "term_id", "left_semi")
-        return pruned.join(qt, "term_id").join(idf_dict, "term_id")
-    present = [
-        r.term_id
-        for r in handle.dictionary.filter(F.col("term_id").isin(qterm_list))
-        .select("term_id")
-        .collect()
-    ]
-    if not present:
-        return None
-    return (
-        handle.postings.filter(F.col("term_id").isin(present))
+        return pruned.join(qt, "term_id").join(idf_dict, "term_id"), None
+    pairs = sorted({(r.qid, r.term_id) for r in pair_rows})
+    if not pairs:
+        return None, None
+    # OOV terms stay in the IN list: a term absent from the index matches no
+    # posting row group (int min/max stat skipping) and no dictionary row, so
+    # pre-probing the dictionary for presence bought nothing except one extra
+    # Spark job per interactive batch. An all-OOV query now runs the (fully
+    # pruned, empty) main plan instead of short-circuiting; same result,
+    # same schema.
+    qterm_list = sorted({t for _, t in pairs})
+    qt = handle.spark.createDataFrame(pairs, "qid long, term_id long")
+    cand = (
+        handle.postings.filter(F.col("term_id").isin(qterm_list))
         .join(F.broadcast(qt), "term_id")
         .join(idf_dict, "term_id")
     )
+    return cand, sorted({q for q, _ in pairs})
 
 
 def bm25_topk_indexed(
@@ -645,7 +734,7 @@ def bm25_topk_indexed(
     handle = IndexHandle(spark, index) if isinstance(index, str) else index
     meta = handle.meta
     use_wand = method == "wand"
-    cand = _candidate_blocks(handle, queries)
+    cand, qids = _candidate_blocks(handle, queries)
     if cand is None:
         return spark.createDataFrame(
             [], schema="qid long, doc_id long, score double, rank long"
@@ -666,6 +755,8 @@ def bm25_topk_indexed(
     partial = cand.groupBy("qid", "shard").applyInPandas(
         run, schema="qid long, ord long, score double"
     )
+    if qids is not None and len(qids) <= _DRIVER_FINISH_MAX_QIDS:
+        return _driver_finish_topk(handle, partial, k)
     resolved = partial.join(handle.docmap, "ord").select("qid", "doc_id", "score")
     ranked = grouped_topk(
         resolved.withColumn("score", F.round("score", SCORE_DECIMALS)),
@@ -687,7 +778,7 @@ def wand_block_stats(
     """Diagnostics: per (qid, shard) blocks seen vs decoded under WAND."""
     handle = IndexHandle(spark, index) if isinstance(index, str) else index
     meta = handle.meta
-    cand = _candidate_blocks(handle, queries)
+    cand, _ = _candidate_blocks(handle, queries)
     if cand is None:
         return spark.createDataFrame(
             [], schema="qid long, shard int, n_blocks long, n_decoded long"
