@@ -540,6 +540,13 @@ class IndexHandle:
         self.postings = spark.read.parquet(f"{index_dir}/postings")
         self.dictionary = spark.read.parquet(f"{index_dir}/dictionary")
         self.docmap = spark.read.parquet(f"{index_dir}/docmap")
+        # driver-side hot caches for the interactive path (a search head
+        # keeps its dictionary in RAM): term_id -> df (0 = not in index) and
+        # ord -> doc_id. Misses are batch-fetched in one pruned-scan job;
+        # warm queries schedule no dictionary or docmap job at all. Same
+        # staleness contract as the DataFrames above: fixed at handle load.
+        self._df_cache: dict[int, int] = {}
+        self._doc_cache: dict[int, int] = {}
 
     def cache(self) -> "IndexHandle":
         self.postings = self.postings.cache()
@@ -603,12 +610,18 @@ def _driver_finish_topk(
             [], schema="qid long, doc_id long, score double, rank long"
         )
     ords = sorted({o for _, o, _ in keep})
-    dmap = {
-        r.ord: r.doc_id
-        for r in handle.docmap.filter(F.col("ord").isin(ords))
-        .select("ord", "doc_id")
-        .collect()
-    }
+    dmap = handle._doc_cache
+    missing = [o for o in ords if o not in dmap]
+    if missing:
+        if len(dmap) > 4_000_000:
+            dmap.clear()
+            missing = ords
+        for r in (
+            handle.docmap.filter(F.col("ord").isin(missing))
+            .select("ord", "doc_id")
+            .collect()
+        ):
+            dmap[r.ord] = r.doc_id
     out: list[tuple[int, int, float, int]] = []
     for qid in sorted(by_qid):
         cands = sorted(
@@ -674,10 +687,10 @@ def _candidate_blocks(
     )
     n = float(handle.meta.n_docs)
     idf = F.log(F.lit(1.0) + (F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5))
-    idf_dict = F.broadcast(
-        handle.dictionary.withColumn("idf", idf).select("term_id", "idf")
-    )
     if len(pair_rows) > _ISIN_PUSHDOWN_MAX_TERMS:
+        idf_dict = F.broadcast(
+            handle.dictionary.withColumn("idf", idf).select("term_id", "idf")
+        )
         qt = query_terms(queries, mode=mode).select(
             "qid", F.xxhash64("term").alias("term_id")
         )
@@ -703,20 +716,39 @@ def _candidate_blocks(
     pairs = sorted({(r.qid, r.term_id) for r in pair_rows})
     if not pairs:
         return None, None
-    # OOV terms stay in the IN list: a term absent from the index matches no
-    # posting row group (int min/max stat skipping) and no dictionary row, so
-    # pre-probing the dictionary for presence bought nothing except one extra
-    # Spark job per interactive batch. An all-OOV query now runs the (fully
-    # pruned, empty) main plan instead of short-circuiting; same result,
-    # same schema.
+    # df comes from the handle's hot cache; misses are batch-fetched in ONE
+    # pruned dictionary scan and terms absent from the index are cached as
+    # df=0 — warm batches schedule no dictionary job at all, and carrying
+    # (term_id, df) inside the local qt relation removes the per-query
+    # broadcast build of the full idf dictionary. idf itself stays a JVM
+    # expression over qt (same F.log the exhaustive path uses): a driver-side
+    # math.log could differ from the JVM's by an ulp and flip a 6dp rounding
+    # boundary the gates hash.
+    cache = handle._df_cache
     qterm_list = sorted({t for _, t in pairs})
-    qt = handle.spark.createDataFrame(pairs, "qid long, term_id long")
-    cand = (
-        handle.postings.filter(F.col("term_id").isin(qterm_list))
-        .join(F.broadcast(qt), "term_id")
-        .join(idf_dict, "term_id")
+    missing = [t for t in qterm_list if t not in cache]
+    if missing:
+        if len(cache) > 4_000_000:
+            cache.clear()
+        for r in (
+            handle.dictionary.filter(F.col("term_id").isin(missing))
+            .select("term_id", "df")
+            .collect()
+        ):
+            cache[r.term_id] = r.df
+        for t in missing:
+            cache.setdefault(t, 0)
+    trip = [(q, t, cache[t]) for q, t in pairs if cache[t] > 0]
+    if not trip:
+        return None, None  # every term OOV: nothing can score
+    present = sorted({t for _, t, _ in trip})
+    qt = handle.spark.createDataFrame(
+        trip, "qid long, term_id long, df long"
+    ).select("qid", "term_id", idf.alias("idf"))
+    cand = handle.postings.filter(F.col("term_id").isin(present)).join(
+        F.broadcast(qt), "term_id"
     )
-    return cand, sorted({q for q, _ in pairs})
+    return cand, sorted({q for q, _, _ in trip})
 
 
 def bm25_topk_indexed(
