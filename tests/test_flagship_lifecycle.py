@@ -186,6 +186,46 @@ def test_semi_join_pushdown_matches_isin(spark, tmp_path, monkeypatch):
     assert key(base) == key(semi)
 
 
+# ------------------------------ coordinator-merge vs distributed tail
+
+def test_driver_finish_matches_distributed_tail(spark, tmp_path, monkeypatch):
+    """The interactive coordinator merge (collect partials, trim to the
+    k-boundary tie class, pruned docmap lookup, Python rank) must be
+    bit-identical to the distributed docmap-join + window tail it replaces
+    — same values, same dtypes, including a query with an OOV term and an
+    all-OOV query."""
+    from geometric_aware_retrieval_v2_spark.operators import index as ix
+    from tests.test_sources_cli import SMALL_CORPUS
+
+    docs = spark.createDataFrame(
+        list(enumerate(SMALL_CORPUS)), schema="doc_id long, content string"
+    )
+    d = str(tmp_path / "idx")
+    ix.build_index(spark, docs, d, n_partitions=2, n_shards=2, block_size=8)
+    queries = spark.createDataFrame(
+        [(0, "man riding horse"), (1, "woman zzz_oov violin"), (2, "zzz_oov")],
+        schema="qid long, text string",
+    )
+    handle = ix.IndexHandle(spark, d)
+    fast = ix.bm25_topk_indexed(spark, handle, queries, k=3)
+    assert fast.schema.simpleString() == (
+        "struct<qid:bigint,doc_id:bigint,score:double,rank:bigint>"
+    )
+    fast_rows = fast.collect()
+    monkeypatch.setattr(ix, "_DRIVER_FINISH_MAX_QIDS", 0)
+    slow_rows = ix.bm25_topk_indexed(spark, handle, queries, k=3).collect()
+
+    def key(rows):
+        return sorted((r.qid, r.rank, r.doc_id, r.score) for r in rows)
+
+    assert len(fast_rows) > 0
+    assert key(fast_rows) == key(slow_rows)
+    assert all(r.qid != 2 for r in fast_rows)  # all-OOV query scores nothing
+    # warm second run (hot df/docmap caches) stays identical
+    assert key(ix.bm25_topk_indexed(spark, handle, queries, k=3).collect()) \
+        == key(fast_rows)
+
+
 # --------------------------------- CLI search --rerank geodesic (E1 surface)
 
 def test_cli_search_rerank_geodesic(spark, tmp_path, capsys):
