@@ -632,9 +632,14 @@ def _driver_finish_topk(
             (int(qid), int(d), float(s), i + 1)
             for i, (s, d) in enumerate(cands)
         )
-    return spark.createDataFrame(
+    df = spark.createDataFrame(
         out, schema="qid long, doc_id long, score double, rank long"
     )
+    # the rows are already on the driver — expose them so composing
+    # pipelines can push the candidate doc_ids into downstream scans
+    # (pipelines.attach_candidates prune_ids) without re-collecting
+    df._spark_graft_local_topk = out
+    return df
 
 
 def _candidate_blocks(

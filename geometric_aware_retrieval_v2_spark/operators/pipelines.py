@@ -16,16 +16,33 @@ from geometric_aware_retrieval_v2_spark.functions.tokenizer import doc_stats, to
 from geometric_aware_retrieval_v2_spark.operators import bm25, rerank
 
 
+# largest candidate doc_id set still compiled into the embeddings scan as an
+# IN literal (parquet row-group stat skipping); past this the filter is
+# dropped and the join alone prunes
+_EMB_PRUNE_MAX_IDS = 32_768
+
+
 def attach_candidates(
     hits: DataFrame, emb: DataFrame, qvecs: DataFrame,
     id_col: str = "vec_id", vec_col: str = "embedding",
+    prune_ids: "list[int] | None" = None,
 ) -> DataFrame:
     """(qid, doc_id, ...) hits -> (qid, doc_id, bm25, embedding, qvec).
 
     The embedding join shuffles on doc_id (hits are tiny: q x search_k rows,
     so AQE turns this into a broadcast of the hits side); qvecs is broadcast.
+
+    ``prune_ids``: when the caller already knows the candidate doc_ids
+    driver-side (the interactive index path materializes its top-k), they
+    are pushed into the embeddings scan as an isin filter — a broadcast
+    join still STREAMS the whole probe side, so without this a 10^12-row
+    embeddings table would be scanned end-to-end to fetch a few hundred
+    vectors; with it the scan row-group-skips on the doc_id column stats.
+    Semantically a no-op: the inner join keeps exactly these ids anyway.
     """
     e = emb.select(F.col(id_col).alias("doc_id"), F.col(vec_col).alias("embedding"))
+    if prune_ids is not None and 0 < len(prune_ids) <= _EMB_PRUNE_MAX_IDS:
+        e = e.filter(F.col("doc_id").isin(sorted(set(prune_ids))))
     return (
         hits.select("qid", "doc_id", F.col("score").alias("bm25"))
         .join(e, "doc_id")
@@ -102,7 +119,11 @@ def bm25_geodesic_indexed(
     handle = IndexHandle(spark, index) if isinstance(index, str) else index
     hits = bm25_topk_indexed(spark, handle, queries, k=search_k, method=method)
     qvecs = encode_queries(queries, dim=dim)
-    cands = attach_candidates(hits, emb, qvecs)
+    local = getattr(hits, "_spark_graft_local_topk", None)
+    cands = attach_candidates(
+        hits, emb, qvecs,
+        prune_ids=[r[1] for r in local] if local is not None else None,
+    )
     # bm25 rides through the kernel: a join back onto `cands` would run the
     # WAND scan + scoring kernel TWICE per query batch (observed ~2x the
     # engine work in the flagship bench job before this)
