@@ -571,6 +571,22 @@ _BROADCAST_PRUNE_MAX_TERMS = 16_000_000
 # merge). Collect volume is bounded by qids x n_shards x (k + 32) rows
 _DRIVER_FINISH_MAX_QIDS = 256
 
+# largest driver-side row set rendered as an inline SQL VALUES relation.
+# createDataFrame parallelizes rows into an RDD-backed plan, so broadcasting
+# it costs a collect job and collecting it costs a scan job; a VALUES inline
+# table is a LocalRelation — both are job-free. Past the cap the SQL text
+# (and its parse time) stops paying for itself.
+_VALUES_LOCAL_MAX_ROWS = 4096
+
+
+def _values_local_df(spark: SparkSession, rows_sql: str, proj: str) -> DataFrame:
+    """Inline-table DataFrame: stays a LocalRelation through the optimizer
+    (ConvertToLocalRelation folds the projection), unlike createDataFrame.
+    Only ever fed integer literals and repr()'d finite doubles — repr is
+    shortest-round-trip, and both the SQL double literal and CAST parse via
+    Java parseDouble, so the bits survive the text round trip exactly."""
+    return spark.sql(f"SELECT {proj} FROM VALUES {rows_sql}")
+
 
 def _driver_finish_topk(
     handle: IndexHandle, partial: DataFrame, k: int
@@ -632,9 +648,22 @@ def _driver_finish_topk(
             (int(qid), int(d), float(s), i + 1)
             for i, (s, d) in enumerate(cands)
         )
-    df = spark.createDataFrame(
-        out, schema="qid long, doc_id long, score double, rank long"
-    )
+    if len(out) <= _VALUES_LOCAL_MAX_ROWS:
+        # LocalRelation result: the caller's .collect() schedules no job,
+        # and composing pipelines broadcast it job-free too. Score doubles
+        # ride repr() (shortest-round-trip) through a CAST, bit-exact.
+        df = _values_local_df(
+            spark,
+            ",".join(
+                f"({q}L,{d}L,CAST('{s!r}' AS DOUBLE),{r}L)"
+                for q, d, s, r in out
+            ),
+            "col1 AS qid, col2 AS doc_id, col3 AS score, col4 AS `rank`",
+        )
+    else:
+        df = spark.createDataFrame(
+            out, schema="qid long, doc_id long, score double, rank long"
+        )
     # the rows are already on the driver — expose them so composing
     # pipelines can push the candidate doc_ids into downstream scans
     # (pipelines.attach_candidates prune_ids) without re-collecting
@@ -747,9 +776,15 @@ def _candidate_blocks(
     if not trip:
         return None, None  # every term OOV: nothing can score
     present = sorted({t for _, t, _ in trip})
-    qt = handle.spark.createDataFrame(
-        trip, "qid long, term_id long, df long"
-    ).select("qid", "term_id", idf.alias("idf"))
+    if len(trip) <= _VALUES_LOCAL_MAX_ROWS:
+        qt = _values_local_df(
+            handle.spark,
+            ",".join(f"({q}L,{t}L,{d}L)" for q, t, d in trip),
+            "col1 AS qid, col2 AS term_id, col3 AS df",
+        )
+    else:
+        qt = handle.spark.createDataFrame(trip, "qid long, term_id long, df long")
+    qt = qt.select("qid", "term_id", idf.alias("idf"))
     cand = handle.postings.filter(F.col("term_id").isin(present)).join(
         F.broadcast(qt), "term_id"
     )
