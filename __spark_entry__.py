@@ -104,6 +104,19 @@ def q_bm25_topk_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk_indexed(spark, idx, queries_df(spark), k=10, method="wand")
 
 
+def q_bm25_topk_wand_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same WAND scan, but forcing the DISTRIBUTED top-k tail (docmap join +
+    rank window) that offline million-query batches run on a cluster — the
+    interactive coordinator-merge finish (<=256 qids) would otherwise be the
+    only finish the driver gates ever hash."""
+    from geometric_aware_retrieval_v2_spark.operators.index import bm25_topk_indexed
+
+    idx = _index_dir_for(spark, sf_dir)
+    return bm25_topk_indexed(
+        spark, idx, queries_df(spark), k=10, method="wand", finish="distributed"
+    )
+
+
 # ------------------------------------------------------------- geometric ops
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -685,6 +698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats": q_corpus_stats,
         "bm25_topk": q_bm25_topk,
         "bm25_topk_wand": q_bm25_topk_wand,
+        "bm25_topk_wand_distributed": q_bm25_topk_wand_distributed,
         # geometric
         "knn_edges": q_knn_edges,
         "knn_edges_ivf": q_knn_edges_ivf,
@@ -746,6 +760,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_stats": oracles.corpus_stats_sql(),
         "bm25_topk": oracles.bm25_topk_sql(k=10),
         "bm25_topk_wand": oracles.bm25_topk_sql(k=10),
+        "bm25_topk_wand_distributed": oracles.bm25_topk_sql(k=10),
         "knn_edges": oracles.knn_edges_sql(k=5),
         "knn_edges_ivf": oracles.knn_edges_ivf_sql(k=5, every=50, nprobe=3),
         "forman_curvature": oracles.forman_curvature_sql(k=5),

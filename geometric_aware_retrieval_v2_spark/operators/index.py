@@ -799,10 +799,24 @@ def bm25_topk_indexed(
     k1: float = K1_DEFAULT,
     b: float = B_DEFAULT,
     method: str = "wand",
+    finish: str = "auto",
 ) -> DataFrame:
     """-> (qid, doc_id, score, rank): identical output contract (and values)
     as the exhaustive tf-frame ``bm25.bm25_topk``. Pass an ``IndexHandle``
-    (optionally .cache()d) to amortize index loading across queries."""
+    (optionally .cache()d) to amortize index loading across queries.
+
+    ``finish`` selects the top-k tail after the per-(qid, shard) WAND
+    partials: ``"auto"`` (default) uses the coordinator merge for
+    interactive batches (<= _DRIVER_FINISH_MAX_QIDS qids) and the
+    distributed docmap-join + window tail otherwise; ``"distributed"`` /
+    ``"driver"`` force one side — the distributed tail is the plan offline
+    million-query logs run on a cluster, so it is independently driver-gated
+    (``bm25_topk_wand_distributed``) rather than only reachable past the
+    batch-size threshold. Both finishes are bit-identical by construction
+    (see _driver_finish_topk) and pinned so by
+    test_driver_finish_matches_distributed_tail."""
+    if finish not in ("auto", "driver", "distributed"):
+        raise ValueError(f"finish must be auto|driver|distributed, got {finish!r}")
     handle = IndexHandle(spark, index) if isinstance(index, str) else index
     meta = handle.meta
     use_wand = method == "wand"
@@ -827,7 +841,15 @@ def bm25_topk_indexed(
     partial = cand.groupBy("qid", "shard").applyInPandas(
         run, schema="qid long, ord long, score double"
     )
-    if qids is not None and len(qids) <= _DRIVER_FINISH_MAX_QIDS:
+    use_driver_finish = (
+        finish == "driver"
+        or (
+            finish == "auto"
+            and qids is not None
+            and len(qids) <= _DRIVER_FINISH_MAX_QIDS
+        )
+    )
+    if use_driver_finish:
         return _driver_finish_topk(handle, partial, k)
     resolved = partial.join(handle.docmap, "ord").select("qid", "doc_id", "score")
     ranked = grouped_topk(

@@ -224,6 +224,18 @@ def test_driver_finish_matches_distributed_tail(spark, tmp_path, monkeypatch):
     # warm second run (hot df/docmap caches) stays identical
     assert key(ix.bm25_topk_indexed(spark, handle, queries, k=3).collect()) \
         == key(fast_rows)
+    # explicit finish= overrides pick the same bits as the auto threshold
+    monkeypatch.undo()
+    assert key(
+        ix.bm25_topk_indexed(
+            spark, handle, queries, k=3, finish="distributed"
+        ).collect()
+    ) == key(fast_rows)
+    assert key(
+        ix.bm25_topk_indexed(spark, handle, queries, k=3, finish="driver").collect()
+    ) == key(fast_rows)
+    with pytest.raises(ValueError, match="finish"):
+        ix.bm25_topk_indexed(spark, handle, queries, k=3, finish="bogus")
 
 
 # --------------------------------- CLI search --rerank geodesic (E1 surface)
