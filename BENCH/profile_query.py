@@ -7,7 +7,10 @@ removing whole jobs from the interactive path. This script builds a tiny
 index, runs one query, and reports how many Spark jobs the query itself
 scheduled plus its wall time. History it verified: baseline 9 jobs per
 2-term query; coalesce(1) probe + coordinator-merge finish -> 7; hot
-dictionary/docmap caches on IndexHandle -> 5 warm (all-OOV: 3).
+dictionary/docmap caches on IndexHandle -> 5 warm; inline-VALUES local
+relations for qt and the result -> 4 warm; empty-LocalRelation all-OOV
+result -> cold all-OOV 2 (probe + dictionary miss fetch), warm all-OOV 1
+(the probe alone — the empty result collects job-free).
 
 Run: python BENCH/profile_query.py
 """
@@ -54,7 +57,11 @@ def main() -> None:
 
     tracker = sc.statusTracker()
     for label, text in [("2-term", "def return"), ("all-oov", "zz_q_zz")]:
-        before = set(tracker.getJobIdsForGroup(None) or [])
+        # snapshot the SAME job group being measured: both labels share the
+        # "probe" group, so a group-None snapshot let the second label
+        # accumulate the first label's jobs (over-counted all-oov by the
+        # 2-term count in earlier recordings)
+        before = set(tracker.getJobIdsForGroup("probe") or [])
         sc.setJobGroup("probe", label)
         t0 = time.monotonic()
         rows = ix.bm25_topk_indexed(spark, handle, q(1, text), k=10).collect()

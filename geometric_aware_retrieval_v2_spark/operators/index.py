@@ -588,6 +588,21 @@ def _values_local_df(spark: SparkSession, rows_sql: str, proj: str) -> DataFrame
     return spark.sql(f"SELECT {proj} FROM VALUES {rows_sql}")
 
 
+def _empty_topk_df(spark: SparkSession) -> DataFrame:
+    """Empty (qid, doc_id, score, rank) result as a LocalRelation.
+    createDataFrame([], schema) parallelizes an empty RDD across the
+    default parallelism, so the caller's .collect() schedules a whole
+    job of empty tasks just to learn there are no rows; a VALUES row
+    behind WHERE 1=0 folds to an empty LocalRelation (PruneFilters +
+    ConvertToLocalRelation) and collects job-free — this is the all-OOV
+    interactive fast path."""
+    return spark.sql(
+        "SELECT * FROM VALUES "
+        "(CAST(NULL AS LONG), CAST(NULL AS LONG), CAST(NULL AS DOUBLE), "
+        "CAST(NULL AS LONG)) t(qid, doc_id, score, `rank`) WHERE 1=0"
+    )
+
+
 def _driver_finish_topk(
     handle: IndexHandle, partial: DataFrame, k: int
 ) -> DataFrame:
@@ -622,9 +637,9 @@ def _driver_finish_topk(
         keep.extend((qid, o, s) for s, o in lst if s >= s_k)
     spark = handle.spark
     if not keep:
-        return spark.createDataFrame(
-            [], schema="qid long, doc_id long, score double, rank long"
-        )
+        df = _empty_topk_df(spark)
+        df._spark_graft_local_topk = []
+        return df
     ords = sorted({o for _, o, _ in keep})
     dmap = handle._doc_cache
     missing = [o for o in ords if o not in dmap]
@@ -822,9 +837,9 @@ def bm25_topk_indexed(
     use_wand = method == "wand"
     cand, qids = _candidate_blocks(handle, queries)
     if cand is None:
-        return spark.createDataFrame(
-            [], schema="qid long, doc_id long, score double, rank long"
-        )
+        df = _empty_topk_df(spark)
+        df._spark_graft_local_topk = []
+        return df
 
     # per-shard partials keep k + headroom: rounded-score ties across distinct
     # (tf, dl) profiles are ordered by doc_id in the final window, and ordinal
