@@ -15,7 +15,7 @@ while true; do
 import bench, json
 r = bench.cpu_control_reading()
 print(json.dumps(r))" 2>/dev/null)
-  med=$(echo "$reading" | python3 -c "import sys,json; print(json.load(sys.stdin)['multi8_med'])")
+  med=$(echo "$reading" | python3 -c "import sys,json; r=json.load(sys.stdin); print(r['multi8_med'], r.get('solo_med',''))")
   quiet=$(echo "$reading" | python3 -c "import sys,json; print(json.load(sys.stdin)['quiet'])")
   log "probe multi8_med=$med quiet=$quiet"
   if [ "$quiet" = "True" ]; then

@@ -72,8 +72,17 @@ print(time.monotonic() - t0)
 # quiet-window criterion for the 8-way probe median, seconds. Quiet-phase
 # readings on this host are 0.3-0.6 (32 vCPUs, 8 procs do not contend);
 # throttle phases read 3-15. Absolute on purpose: solo probes stay FAST in
-# throttle phases, so a relative-to-solo threshold would wave them through.
+# aggregate-cap throttle phases, so a relative-to-solo threshold would wave
+# them through.
 _MULTI_PROBE_QUIET_SEC = 1.2
+
+# ... and the solo criterion that closes the OTHER throttle family: a
+# round-5 run caught a window where the 8-way median read 1.016 (quiet by
+# the multi criterion) while back-to-back solo probes read 3.2 s and
+# 29.8 s — whole-host slowdown, not an aggregate cap. Quiet now requires
+# BOTH: the aggregate cap shows in multi8 with solos fast; the whole-host
+# phase shows in solos regardless of multi8. Solo calibration is ~0.3 s.
+_SOLO_PROBE_QUIET_SEC = 1.0
 
 
 def _probe_solo() -> float:
@@ -97,11 +106,14 @@ def cpu_control_reading() -> dict:
     solos = [_probe_solo() for _ in range(2)]
     multi = _probe_multi(8)
     med = round(statistics.median(multi), 3)
+    solo_med = round(statistics.median(solos), 3)
     return {
         "solo": [round(s, 3) for s in solos],
+        "solo_med": solo_med,
         "multi8": [round(m, 3) for m in multi],
         "multi8_med": med,
-        "quiet": med <= _MULTI_PROBE_QUIET_SEC,
+        "quiet": med <= _MULTI_PROBE_QUIET_SEC
+        and solo_med <= _SOLO_PROBE_QUIET_SEC,
     }
 
 
@@ -139,6 +151,7 @@ def run_bench_calibrated(sf_dir: str, cpus: int,
         res["cpu_control"] = {
             "pre": pre, "post": post, "quiet_window": quiet,
             "attempt": attempt, "threshold_sec": _MULTI_PROBE_QUIET_SEC,
+            "solo_threshold_sec": _SOLO_PROBE_QUIET_SEC,
         }
         attempts.append(res)
         if quiet or time.monotonic() > deadline:
