@@ -238,6 +238,42 @@ def test_driver_finish_matches_distributed_tail(spark, tmp_path, monkeypatch):
         ix.bm25_topk_indexed(spark, handle, queries, k=3, finish="bogus")
 
 
+def test_all_oov_result_is_empty_localrelation(spark, tmp_path):
+    """The all-OOV result must be an empty LocalRelation: right schema,
+    zero rows, and — the interactive fast path this pins — collecting it
+    schedules NO Spark job beyond the warm path's single term probe
+    (createDataFrame([], schema) would parallelize an empty RDD and burn
+    a whole job of empty tasks on it)."""
+    from geometric_aware_retrieval_v2_spark.operators import index as ix
+    from tests.test_sources_cli import SMALL_CORPUS
+
+    docs = spark.createDataFrame(
+        list(enumerate(SMALL_CORPUS)), schema="doc_id long, content string"
+    )
+    d = str(tmp_path / "idx")
+    ix.build_index(spark, docs, d, n_partitions=2, n_shards=2, block_size=8)
+    handle = ix.IndexHandle(spark, d)
+    q = spark.createDataFrame([(7, "zzz_oov qqq_oov")], "qid long, text string")
+    # cold run caches the OOV terms (probe + dictionary miss fetch)
+    out = ix.bm25_topk_indexed(spark, handle, q, k=5)
+    assert out.schema.simpleString() == (
+        "struct<qid:bigint,doc_id:bigint,score:double,rank:bigint>"
+    )
+    assert out.collect() == []
+    # warm run: exactly one job (the term probe); the empty result itself
+    # is a LocalRelation and collects job-free
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    sc.setJobGroup("oov_probe", "oov_probe")
+    try:
+        before = set(tracker.getJobIdsForGroup("oov_probe") or [])
+        assert ix.bm25_topk_indexed(spark, handle, q, k=5).collect() == []
+        jobs = set(tracker.getJobIdsForGroup("oov_probe") or []) - before
+    finally:
+        sc.setJobGroup(None, None)
+    assert len(jobs) == 1
+
+
 # --------------------------------- CLI search --rerank geodesic (E1 surface)
 
 def test_cli_search_rerank_geodesic(spark, tmp_path, capsys):
