@@ -50,7 +50,9 @@ def main() -> None:
     handle = ix.IndexHandle(spark, idx_dir).cache()
 
     def q(qid: int, text: str):
-        return spark.createDataFrame([(qid, text)], "qid long, text string")
+        from geometric_aware_retrieval_v2_spark.localrel import local_queries_df
+
+        return local_queries_df(spark, [(qid, text)])
 
     # warmup (fills caches, JIT, broadcast machinery)
     ix.bm25_topk_indexed(spark, handle, q(0, "def return"), k=10).collect()

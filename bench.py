@@ -253,8 +253,13 @@ def run_bench(sf_dir: str, cpus: int, n_files_override: int | None = None) -> di
 
     handle = IndexHandle(spark, idx_dir).cache()
 
+    from geometric_aware_retrieval_v2_spark.localrel import local_queries_df
+
     def qdf(qid: int, text: str):
-        return spark.createDataFrame([(qid, text)], schema="qid long, text string")
+        # LocalRelation: what an interactive caller should build (the
+        # parallelize-backed variant adds ~4.5 s of per-slice Python
+        # round trips to every probe; see localrel module docstring)
+        return local_queries_df(spark, [(qid, text)])
 
     bm25_topk_indexed(spark, handle, qdf(0, "def"), k=10).collect()  # warmup
     per_query: dict[str, float] = {}
@@ -274,7 +279,7 @@ def run_bench(sf_dir: str, cpus: int, n_files_override: int | None = None) -> di
     # is dominated by ~1 s fixed local-mode job latency; the amortized
     # per-query number is what a cluster user scoring query batches gets —
     # the whole topology (per-(qid,shard) partials) is batch-native.
-    qall = spark.createDataFrame(list(CODE_QUERY_SET), schema="qid long, text string")
+    qall = local_queries_df(spark, list(CODE_QUERY_SET))
     blegs = []
     for _ in range(3):
         t = time.monotonic()

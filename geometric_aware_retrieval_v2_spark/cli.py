@@ -77,7 +77,9 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         )
         print(json.dumps(meta.__dict__))
     elif args.cmd == "search":
-        q = spark.createDataFrame([(0, args.query)], schema="qid long, text string")
+        from geometric_aware_retrieval_v2_spark.localrel import local_queries_df
+
+        q = local_queries_df(spark, [(0, args.query)])
         if args.rerank == "geodesic":
             if not args.embeddings:
                 raise SystemExit("--rerank geodesic requires --embeddings")

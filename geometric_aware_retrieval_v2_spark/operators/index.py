@@ -45,6 +45,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
+from geometric_aware_retrieval_v2_spark import localrel
 from geometric_aware_retrieval_v2_spark.functions.tokenizer import (
     _terms_col,
     tokenize_terms_arrow,
@@ -720,14 +721,35 @@ def _candidate_blocks(
     batches sit orders of magnitude below it, query logs orders above).
     """
     mode = handle.meta.tokenizer_mode
-    # coalesce(1) keeps the probe ONE job: limit-collect otherwise runs
-    # executeTake's incremental partition cascade (1, then 4x, ...) over the
-    # mostly-empty slices createDataFrame spreads a small batch across —
-    # three scheduled jobs to fetch a dozen rows. The single merged task
-    # consumes its input lazily and stops at the limit, so a huge offline
-    # log still only reads until the cap overflows.
+    # Interactive probe, three tiers (cheapest wins):
+    #   1. the caller built the frame with localrel.local_queries_df — the
+    #      raw rows ride an attribute, zero fetch cost;
+    #   2. untagged frame: bounded take() of the raw (qid, text) rows —
+    #      executeTake stops as soon as the interactive cap overflows, so
+    #      a million-row offline log reads only its first partition(s);
+    #   3. row overflow (> _DRIVER_FINISH_MAX_QIDS): the batch is an
+    #      offline log — probe the original frame with coalesce(1) so the
+    #      single merged task consumes its input lazily up to the pair cap.
+    # Tiers 1-2 re-render the rows as a parameterized VALUES LocalRelation
+    # and tokenize THAT with the same JVM expressions: evaluating the probe
+    # over a createDataFrame-backed scan pays a Python-worker round trip
+    # per parallelize slice (~4.5 s for one query on local[32], the
+    # dominant share of single-query latency); over a LocalRelation the
+    # identical plan folds driver-side in ~0.1 s and schedules no job.
+    local_rows = getattr(queries, localrel.LOCAL_ROWS_ATTR, None)
+    if local_rows is None:
+        taken = queries.select("qid", "text").take(_DRIVER_FINISH_MAX_QIDS + 1)
+        if len(taken) <= _DRIVER_FINISH_MAX_QIDS:
+            local_rows = [(r.qid, r.text) for r in taken]
+    if local_rows is not None:
+        if not local_rows:
+            return None, None
+        qsrc = localrel.local_queries_df(handle.spark, local_rows)
+        probe_src = qsrc
+    else:
+        probe_src = queries.coalesce(1)
     pair_rows = (
-        queries.coalesce(1)
+        probe_src
         .select("qid", F.explode(_terms_col("text", mode)).alias("term"))
         .filter(F.col("term") != "")
         .select("qid", F.xxhash64("term").alias("term_id"))

@@ -35,7 +35,12 @@ QUERY_SET: list[tuple[int, str]] = [
 
 
 def queries_df(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(QUERY_SET, schema="qid long, text string")
+    # LocalRelation, not createDataFrame: the interactive index path probes
+    # query text driver-side, and a parallelize-backed scan pays a Python
+    # worker round trip per slice (see localrel module docstring)
+    from geometric_aware_retrieval_v2_spark.localrel import local_queries_df
+
+    return local_queries_df(spark, list(QUERY_SET))
 
 
 def queries_values_sql() -> str:

@@ -240,10 +240,14 @@ def test_driver_finish_matches_distributed_tail(spark, tmp_path, monkeypatch):
 
 def test_all_oov_result_is_empty_localrelation(spark, tmp_path):
     """The all-OOV result must be an empty LocalRelation: right schema,
-    zero rows, and — the interactive fast path this pins — collecting it
-    schedules NO Spark job beyond the warm path's single term probe
+    zero rows, and — the interactive fast path this pins — a warm all-OOV
+    query over a local_queries_df frame schedules exactly ONE Spark job:
+    the single-task VALUES term probe (explode is a Generate node, which
+    ConvertToLocalRelation does not fold). The dictionary df rides the
+    handle cache and the empty result is a LocalRelation
     (createDataFrame([], schema) would parallelize an empty RDD and burn
     a whole job of empty tasks on it)."""
+    from geometric_aware_retrieval_v2_spark.localrel import local_queries_df
     from geometric_aware_retrieval_v2_spark.operators import index as ix
     from tests.test_sources_cli import SMALL_CORPUS
 
@@ -253,25 +257,31 @@ def test_all_oov_result_is_empty_localrelation(spark, tmp_path):
     d = str(tmp_path / "idx")
     ix.build_index(spark, docs, d, n_partitions=2, n_shards=2, block_size=8)
     handle = ix.IndexHandle(spark, d)
-    q = spark.createDataFrame([(7, "zzz_oov qqq_oov")], "qid long, text string")
-    # cold run caches the OOV terms (probe + dictionary miss fetch)
+    q = local_queries_df(spark, [(7, "zzz_oov qqq_oov")])
+    # cold run caches the OOV terms (dictionary miss fetch)
     out = ix.bm25_topk_indexed(spark, handle, q, k=5)
     assert out.schema.simpleString() == (
         "struct<qid:bigint,doc_id:bigint,score:double,rank:bigint>"
     )
     assert out.collect() == []
-    # warm run: exactly one job (the term probe); the empty result itself
-    # is a LocalRelation and collects job-free
     sc = spark.sparkContext
     tracker = sc.statusTracker()
-    sc.setJobGroup("oov_probe", "oov_probe")
-    try:
-        before = set(tracker.getJobIdsForGroup("oov_probe") or [])
-        assert ix.bm25_topk_indexed(spark, handle, q, k=5).collect() == []
-        jobs = set(tracker.getJobIdsForGroup("oov_probe") or []) - before
-    finally:
-        sc.setJobGroup(None, None)
-    assert len(jobs) == 1
+
+    def warm_jobs(frame):
+        sc.setJobGroup("oov_probe", "oov_probe")
+        try:
+            before = set(tracker.getJobIdsForGroup("oov_probe") or [])
+            assert ix.bm25_topk_indexed(spark, handle, frame, k=5).collect() == []
+            return len(set(tracker.getJobIdsForGroup("oov_probe") or []) - before)
+        finally:
+            sc.setJobGroup(None, None)
+
+    assert warm_jobs(q) == 1
+    # an untagged createDataFrame frame pays the bounded take() fetch
+    # (executeTake's partition cascade over the parallelize slices) but
+    # nothing else — still a handful of tiny jobs, never a scoring job
+    q2 = spark.createDataFrame([(8, "zzz_oov qqq_oov")], "qid long, text string")
+    assert 1 <= warm_jobs(q2) <= 4
 
 
 # --------------------------------- CLI search --rerank geodesic (E1 surface)
