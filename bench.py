@@ -17,7 +17,9 @@ Prints ONE JSON line:
 
 Scaling-efficiency evidence (local[8] vs local[32]) is produced by
 ``python bench.py --scaling``, which re-execs this script at both
-parallelism levels and writes BENCH/BASELINE.md.
+parallelism levels and writes a quick-look report to BENCH/SCALING_RUN.md
+(the curated cross-round analysis lives in BENCH/BASELINE.md and the
+full-evidence instrument is BENCH/scaling_session.py).
 
 The driver-bench path is gated on a MULTI-core CPU control (8 concurrent
 single-thread probes; see run_bench_calibrated): this VM throttles
@@ -355,7 +357,12 @@ def run_bench(sf_dir: str, cpus: int, n_files_override: int | None = None) -> di
 
 
 def run_scaling(sf_dir: str) -> None:
-    """N vs 4N cores on identical input -> BENCH/BASELINE.md.
+    """N vs 4N cores on identical input -> BENCH/SCALING_RUN.md.
+
+    (BENCH/BASELINE.md is the curated cross-round analysis document and is
+    never overwritten by a harness run; this quick-look mode writes its own
+    report, while the full-evidence instrument is BENCH/scaling_session.py,
+    which appends raw legs to BENCH/sessions.jsonl.)
 
     Core pair via SPARK_GRAFT_SCALING_CORES="2,8" (default), input size via
     SPARK_GRAFT_SCALING_FILES (default 200000), legs per level via
@@ -453,9 +460,9 @@ def run_scaling(sf_dir: str) -> None:
     q_lo = statistics.median(r["value"] for r in legs[lo])
     q_hi = statistics.median(r["value"] for r in legs[hi])
     os.makedirs(REPO / "BENCH", exist_ok=True)
-    with open(REPO / "BENCH" / "BASELINE.md", "w") as f:
+    with open(REPO / "BENCH" / "SCALING_RUN.md", "w") as f:
         f.write(
-            "# BENCH — measured baselines\n\n"
+            "# BENCH — quick-look scaling run (see BASELINE.md for the curated analysis)\n\n"
             f"Input: deterministic synthetic source-code corpus, "
             f"{r_lo['n_files']} files, identical at both parallelism levels\n"
             f"(same seed, same row count, same index layout: n_shards=8, blocks=128).\n"
