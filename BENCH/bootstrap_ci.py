@@ -43,6 +43,15 @@ def load_pool() -> tuple[list[float], list[float], list[float], list[str]]:
             # constant-corpus pairs
             if rec.get("lo_files", 200_000) != rec.get("hi_files", 200_000):
                 continue
+            # all-quiet sessions are a different REGIME: session N showed
+            # throttle stretches the parallel region but not the fixed
+            # per-build overhead, so throttled constant-corpus pairs read
+            # the amortized (larger-corpus-equivalent) efficiency while
+            # quiet pairs read the true 200k one (~0.49, overhead-bound).
+            # Mixing them would average two different quantities; quiet
+            # sessions are the headline evidence in BASELINE.md instead.
+            if rec.get("all_quiet") and rec.get("all_multi_quiet"):
+                continue
             pair_effs.extend(rec["pair_effs"])
             labels.append(rec.get("label", "?"))
             for leg in rec.get("legs", []):

@@ -70,15 +70,20 @@ def multi_control() -> float:
 
 def wait_quiet_multi(threshold: float = 1.2, max_probes: int = 8,
                      sleep_sec: float = 45.0) -> float:
-    """Bounded wait for a quiet window on the multi-core control; returns
-    the last reading (caller records it — legs run regardless after the
-    budget, marked by their reading)."""
+    """Bounded wait for a DUAL-criterion quiet window (bench.py's multi8
+    AND solo thresholds — session P's pair-0 lo leg started with the solo
+    control at 3.3 s because this gate originally checked only the
+    multi-core family); returns the last multi reading (caller records it —
+    legs run regardless after the budget, marked by their readings)."""
+    sys.path.insert(0, str(REPO))
+    from bench import cpu_control_reading
+
     for _ in range(max_probes):
-        m = multi_control()
-        if m <= threshold:
-            return m
+        r = cpu_control_reading()
+        if r["quiet"]:
+            return r["multi8_med"]
         time.sleep(sleep_sec)
-    return m
+    return r["multi8_med"]
 
 
 def corpus_dir_for(n_files: int) -> str:

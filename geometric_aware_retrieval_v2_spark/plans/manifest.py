@@ -306,8 +306,41 @@ def read_manifest(spark: SparkSession, index_dir: str) -> DataFrame | None:
         raise
 
 
+def _local_manifest_rows(index_dir: str, stage: str) -> list[dict] | None:
+    """Driver-side read of (stage, status=done) manifest rows for LOCAL
+    manifests, or None when the path is remote (caller falls back to the
+    Spark read). The manifest is a handful of tiny driver-written parquet
+    files; reading them through a Spark job costs a fixed driver/job
+    round-trip per resume check — build_index makes five such checks, so on
+    a fast small build they are pure Amdahl residue (session N measured the
+    total fixed build overhead at ~32 s). pyarrow reads the same files the
+    Spark path reads; remote filesystems keep the Spark read because its
+    Hadoop connectors are authoritative there."""
+    path = manifest_path(index_dir)
+    if not is_local_path(path):
+        return None
+    local = _strip_file_scheme(path)
+    if not os.path.isdir(local):
+        return []
+    rows: list[dict] = []
+    for f in sorted(os.listdir(local)):
+        if not f.endswith(".parquet"):
+            continue
+        t = pq.read_table(
+            os.path.join(local, f),
+            columns=["stage", "status", "partition_id", "input_fingerprint"],
+        )
+        for r in t.to_pylist():
+            if r["stage"] == stage and r["status"] == "done":
+                rows.append(r)
+    return rows
+
+
 def completed_partitions(spark: SparkSession, index_dir: str, stage: str) -> dict[int, str]:
     """partition_id -> input_fingerprint for committed partitions of a stage."""
+    local = _local_manifest_rows(index_dir, stage)
+    if local is not None:
+        return {r["partition_id"]: r["input_fingerprint"] for r in local}
     m = read_manifest(spark, index_dir)
     if m is None:
         return {}
@@ -324,6 +357,9 @@ def stage_fingerprints(spark: SparkSession, index_dir: str, stage: str) -> list[
     The params-pinning guard uses this to detect a manifest holding two
     CONFLICTING 'params' rows — possible only if a past resume ran against
     a manifest it failed to read — before trusting any committed artifact."""
+    local = _local_manifest_rows(index_dir, stage)
+    if local is not None:
+        return sorted({r["input_fingerprint"] for r in local})
     m = read_manifest(spark, index_dir)
     if m is None:
         return []
