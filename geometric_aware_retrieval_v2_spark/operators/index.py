@@ -61,6 +61,7 @@ from geometric_aware_retrieval_v2_spark.operators.postings import (
     decode_block,
     merge_segments,
     pack_postings,
+    pack_width,
 )
 from geometric_aware_retrieval_v2_spark.operators.topk import grouped_topk
 from geometric_aware_retrieval_v2_spark.plans import manifest as mf
@@ -293,7 +294,19 @@ def build_index(
                 F.pmod(F.col("ord"), F.lit(n_shards)).cast("int").alias("shard"),
             )
         )
-        seg = pack_postings(tf_ord, n_shards=n_shards, block_size=block_size)
+        # pack shuffle width sized from the DATA: sum(doc_len) over this
+        # partition's docstats (a tiny columnar agg on an already-written
+        # table) is a free upper bound on posting rows — bounds the pack
+        # kernel's per-task pandas buffer at any corpus size, where the
+        # session-default width would buffer corpus/width rows per task
+        dl_sum = (
+            spark.read.parquet(f"{index_dir}/docstats/part={p}")
+            .agg(F.sum("doc_len"))
+            .collect()[0][0]
+            or 0
+        )
+        width = pack_width(int(dl_sum), spark.sparkContext.defaultParallelism)
+        seg = pack_postings(tf_ord, n_shards=n_shards, block_size=block_size, n_tasks=width)
         seg_path = f"{index_dir}/segments/part={p}"
         seg.write.mode("overwrite").parquet(seg_path)
         n_bytes = mf.fs_dir_bytes(seg_path)

@@ -46,6 +46,24 @@ from geometric_aware_retrieval_v2_spark.functions.varbyte import (
 
 BLOCK_SIZE_DEFAULT = 128
 
+# pack tasks buffer their whole shuffle partition as one pandas frame (group
+# completeness); 4M rows x 5 int64 cols ~ 160 MB buffered per task — the
+# bound that keeps the buffer executor-safe regardless of corpus size
+ROWS_PER_PACK_TASK = 4_000_000
+
+
+def pack_width(n_rows: int, parallelism: int, rows_per_task: int = ROWS_PER_PACK_TASK) -> int:
+    """Shuffle width for pack_postings sized from the DATA, not the session.
+
+    ``spark.sql.shuffle.partitions`` is a per-session constant (~#cores); the
+    pack kernel buffers its whole partition, so at 10^12-file scale the
+    session default would put corpus/width rows — unbounded gigabytes — in
+    one pandas frame. Width = max(parallelism, ceil(n_rows / rows_per_task))
+    keeps every core busy on small inputs and bounds per-task memory on huge
+    ones. ``n_rows`` may be an upper bound (sum(doc_len) >= posting rows).
+    """
+    return max(int(parallelism), -(-int(n_rows) // int(rows_per_task)), 1)
+
 POSTINGS_SCHEMA = (
     "term_id long, shard int, block_id int, first_doc long, last_doc long, "
     "n int, max_tf int, min_dl int, bytes binary"
@@ -150,7 +168,10 @@ def _pack_partition(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
 
 
 def pack_postings(
-    tf_dl: DataFrame, n_shards: int, block_size: int = BLOCK_SIZE_DEFAULT
+    tf_dl: DataFrame,
+    n_shards: int,
+    block_size: int = BLOCK_SIZE_DEFAULT,
+    n_tasks: int | None = None,
 ) -> DataFrame:
     """(doc_id, term_id, tf, dl)[ + shard] -> compressed block rows.
 
@@ -170,14 +191,23 @@ def pack_postings(
     key) + a vectorized ``mapInPandas`` pass. Grouping via repartition
     instead of groupBy().applyInPandas avoids per-group Arrow/pandas
     overhead — with vocab-scale group counts (millions of terms) per-group
-    UDF dispatch dominates otherwise. Shuffle partition sizing bounds the
-    in-memory batch per task.
+    UDF dispatch dominates otherwise.
+
+    ``n_tasks`` bounds the per-task pandas buffer: callers that know (an
+    upper bound on) the input row count pass ``pack_width(n_rows, ...)``;
+    with ``None`` the session-default shuffle width is used — fine for
+    tests/small frames, NOT for production builds (the buffer then grows
+    linearly with corpus size). build_index always passes it (sized from the
+    partition's sum(doc_len), a free upper bound on posting rows).
     """
     if "shard" not in tf_dl.columns:
         tf_dl = with_shard(tf_dl, n_shards)
 
     # ONE shuffle, NO JVM sort: the kernel lexsorts in NumPy
-    df = tf_dl.repartition("term_id", "shard")
+    if n_tasks is not None:
+        df = tf_dl.repartition(n_tasks, "term_id", "shard")
+    else:
+        df = tf_dl.repartition("term_id", "shard")
 
     def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # buffer the partition: groups must be complete before packing
@@ -259,9 +289,17 @@ def merge_segments(
     if not compact:
         # hash-cluster on (term, shard) + in-partition sort so every term's
         # blocks land contiguously in one output file — parquet row-group
-        # stats then prune term-IN scans as tightly as the compacted layout
+        # stats then prune term-IN scans as tightly as the compacted layout.
+        # (JVM sort spills; no data-sized width needed on this path.)
         return segments.repartition(n_tasks, "term_id", "shard").sortWithinPartitions(
             "term_id", "shard", "first_doc"
         )
-    spread = segments.repartition(n_tasks)
-    return pack_postings(unpack_postings(spread), n_shards=n_shards, block_size=block_size)
+    # compact re-pack buffers per task (pack_postings): size the width from
+    # the actual posting count — one cheap agg over the block-row `n` column
+    # (metadata only, payload bytes not read)
+    n_post = segments.agg(F.sum("n")).collect()[0][0] or 0
+    width = pack_width(int(n_post), spark.sparkContext.defaultParallelism)
+    spread = segments.repartition(max(n_tasks, width))
+    return pack_postings(
+        unpack_postings(spread), n_shards=n_shards, block_size=block_size, n_tasks=width
+    )

@@ -190,6 +190,38 @@ def test_compact_merge_equals_logical_merge(spark, index_dir):
             assert a1 < b0, "overlapping compacted blocks"
 
 
+def test_pack_width_bounds_buffer_and_preserves_postings(spark, index_dir):
+    """The pack shuffle width must be sized from the data (bounded per-task
+    pandas buffer at any corpus size), and an explicit width must not change
+    the postings content — only the physical layout."""
+    from geometric_aware_retrieval_v2_spark.operators.postings import (
+        ROWS_PER_PACK_TASK,
+        pack_postings,
+        pack_width,
+        unpack_postings,
+    )
+
+    # width math: parallelism floor on small inputs, row ceiling on huge ones
+    assert pack_width(0, 32) == 32
+    assert pack_width(10_000, 32) == 32
+    assert pack_width(40 * ROWS_PER_PACK_TASK, 32) == 40
+    assert pack_width(40 * ROWS_PER_PACK_TASK + 1, 32) == 41
+    assert pack_width(10**12 * 200, 32) == -(-(10**12 * 200) // ROWS_PER_PACK_TASK)
+
+    # explicit n_tasks controls the physical width and preserves content
+    # deterministic subset (limit() re-samples per action)
+    tf = unpack_postings(spark.read.parquet(f"{index_dir}/segments")).filter(
+        F.pmod(F.col("term_id"), F.lit(11)) == 0
+    )
+    key = lambda r: (r.term_id, r.shard, r.doc_id, r.tf, r.dl)
+    base = pack_postings(tf, n_shards=4, block_size=64)
+    wide = pack_postings(tf, n_shards=4, block_size=64, n_tasks=7)
+    assert wide.rdd.getNumPartitions() == 7
+    assert sorted(map(key, unpack_postings(base).collect())) == sorted(
+        map(key, unpack_postings(wide).collect())
+    )
+
+
 def test_resume_with_different_params_raises(spark, index_dir, tmp_path):
     """Completed artifacts are keyed by pmod(xxhash64(doc_id), n_partitions);
     resuming under different parameters must refuse instead of silently
