@@ -36,12 +36,15 @@ def load_pool() -> tuple[list[float], list[float], list[float], list[str]]:
             rec = json.loads(line)
             if rec.get("mode") != "seq" or (rec.get("lo"), rec.get("hi")) != (2, 8):
                 continue
-            if rec.get("n_files") != 200_000:
-                continue
-            # equal-exposure sessions (lo_files != hi_files) are a different
-            # instrument — reported separately, not pooled with the
-            # constant-corpus pairs
-            if rec.get("lo_files", 200_000) != rec.get("hi_files", 200_000):
+            # pool ONLY constant-corpus 200k pairs: key on lo_files/hi_files
+            # (the per-level truth), not n_files — sessions launched with
+            # --lo-files/--hi-files used to record n_files from the env
+            # default (session P: 1.6M legs labeled n_files=200000).
+            # Equal-exposure sessions (lo_files != hi_files) are a different
+            # instrument — reported separately, not pooled.
+            lo_f = rec.get("lo_files", rec.get("n_files"))
+            hi_f = rec.get("hi_files", rec.get("n_files"))
+            if lo_f != 200_000 or hi_f != 200_000:
                 continue
             # all-quiet sessions are a different REGIME: session N showed
             # throttle stretches the parallel region but not the fixed

@@ -210,7 +210,10 @@ def run_seq(pairs: int, lo: int, hi: int, label: str,
     multi_quiet = all(
         max(r["mctl_pre"], r["mctl_post"]) <= 1.2 for r in legs
     )
-    summary = dict(mode="seq", label=label, lo=lo, hi=hi, n_files=N_FILES,
+    # n_files mirrors the ACTUAL hi-level corpus (not the env default) so
+    # pool filters keyed on corpus size cannot mistake a --lo-files/--hi-files
+    # session for a 200k one (session P was mislabeled this way)
+    summary = dict(mode="seq", label=label, lo=lo, hi=hi, n_files=files_of[hi],
                    lo_files=files_of[lo], hi_files=files_of[hi],
                    calib=round(calib, 3), legs=legs, pair_effs=pair_effs,
                    pair_eff_median=round(statistics.median(pair_effs), 3),

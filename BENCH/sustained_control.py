@@ -36,15 +36,23 @@ SESSIONS = REPO / "BENCH" / "sessions.jsonl"
 _WORKER_SRC = """
 import sys, time, numpy as np
 deadline = float(sys.argv[1])
-a = np.random.default_rng(0).standard_normal(4_000_000)
+# STATIONARY workload: sort a fresh copy of the SAME unsorted source every
+# iteration. The first version fed each block's output back into the next
+# (a = b*1.0000001 + roll(b,1)), which doubles magnitudes per iteration and
+# overflows to inf/nan after ~255 blocks -- post-overflow sorts run much
+# faster, so the FASTER level's median landed post-overflow and the
+# "delivery ratio" measured overflow position, not host delivery. Every
+# block below does identical work forever.
+src = np.random.default_rng(0).standard_normal(4_000_000)
+acc = 0.0
 for _ in range(2):          # warmup: fault pages in, settle the allocator
-    a = np.sort(a) * 1.0000001
+    acc += float(np.sort(src)[0])
 times = []
 while time.monotonic() < deadline:
     t0 = time.monotonic()
     for _ in range(4):
-        b = np.sort(a)
-        a = b * 1.0000001 + np.roll(b, 1)
+        b = np.sort(src)
+        acc += float(b[0]) + float(b[-1])
     times.append(time.monotonic() - t0)
 print(__import__("json").dumps(times))
 """
