@@ -118,6 +118,7 @@ def build_index(
     tokenizer_mode: str = "ws",
     run_id: str = "run-0",
     verify_vocab: bool = True,
+    docmap_broadcast_max_rows: int = 8_000_000,
 ) -> IndexMeta:
     """Resumable build. ``docs`` must have (doc_id, content).
 
@@ -273,17 +274,26 @@ def build_index(
     dl_by_ord = (
         spark.read.parquet(f"{index_dir}/docmap").select("doc_id", "ord", "dl").cache()
     )
+    # join-strategy switch: the docmap is corpus-proportional, so a hardwired
+    # F.broadcast would collect 10^12 rows to the driver at the target scale
+    # (the same defect class pack_width fixed for the pack shuffle). The doc
+    # count is free from the docstats manifest commits — no counting job.
+    # Below the cap (~8M rows ≈ a few hundred MB relation) the broadcast
+    # skips shuffling the much larger tf fan-out; above it the join runs as
+    # a plain shuffle join (AQE picks the physical strategy).
+    n_docs_total = mf.stage_rows_total(spark, index_dir, "docstats")
+    broadcast_docmap = n_docs_total <= docmap_broadcast_max_rows
 
     def _segments_job(p: int) -> None:
         t0 = time.monotonic()
         tf = spark.read.parquet(f"{index_dir}/tf/part={p}")
         # postings are keyed by dense ordinal from here on; shard is a pure
         # function of the ordinal so partial top-k per shard stays exact.
-        # docmap is broadcast (it is |docs| rows of 3 ints — small relative
-        # to the tf fan-out; at extreme scale this becomes a sort-merge join
-        # on doc_id, still one shuffle)
+        # docmap join strategy chosen above from the committed doc count:
+        # broadcast below docmap_broadcast_max_rows, shuffle join past it
         tf_ord = (
-            tf.join(F.broadcast(dl_by_ord), "doc_id")
+            tf.join(F.broadcast(dl_by_ord) if broadcast_docmap else dl_by_ord,
+                    "doc_id")
             .select(
                 F.col("ord").alias("doc_id"),
                 # postings are keyed by the 8-byte term hash; the string

@@ -328,7 +328,8 @@ def _local_manifest_rows(index_dir: str, stage: str) -> list[dict] | None:
             continue
         t = pq.read_table(
             os.path.join(local, f),
-            columns=["stage", "status", "partition_id", "input_fingerprint"],
+            columns=["stage", "status", "partition_id", "input_fingerprint",
+                     "rows"],
         )
         for r in t.to_pylist():
             if r["stage"] == stage and r["status"] == "done":
@@ -350,6 +351,25 @@ def completed_partitions(spark: SparkSession, index_dir: str, stage: str) -> dic
         .collect()
     )
     return {r.partition_id: r.input_fingerprint for r in rows}
+
+
+def stage_rows_total(spark: SparkSession, index_dir: str, stage: str) -> int:
+    """Sum of the committed ``rows`` column over a stage's done partitions —
+    e.g. the total document count from the docstats commits. Free of any
+    Spark job on local manifests; build_index uses it to pick the docmap
+    join strategy without counting the docmap."""
+    local = _local_manifest_rows(index_dir, stage)
+    if local is not None:
+        return sum(int(r.get("rows") or 0) for r in local)
+    m = read_manifest(spark, index_dir)
+    if m is None:
+        return 0
+    got = (
+        m.filter((m.stage == stage) & (m.status == "done"))
+        .agg({"rows": "sum"})
+        .collect()[0][0]
+    )
+    return int(got or 0)
 
 
 def stage_fingerprints(spark: SparkSession, index_dir: str, stage: str) -> list[str]:

@@ -222,6 +222,38 @@ def test_pack_width_bounds_buffer_and_preserves_postings(spark, index_dir):
     )
 
 
+def test_docmap_shuffle_join_equals_broadcast(spark, index_dir, tmp_path):
+    """The docmap join strategy is picked from the committed doc count
+    (broadcast below docmap_broadcast_max_rows, shuffle join past it — a
+    corpus-proportional table cannot be hardwired-broadcast at 10^12 docs).
+    Forcing the shuffle-join path must produce an identical index, and the
+    strategy input (stage_rows_total over the docstats commits) must equal
+    the real document count without running a counting job."""
+    from geometric_aware_retrieval_v2_spark.operators.postings import unpack_postings
+
+    docs = docs_from_documents(spark, SF_SMOKE)
+    d2 = str(tmp_path / "idx_shuffle_join")
+    build_index(spark, docs, d2, n_partitions=4, n_shards=4, block_size=64,
+                docmap_broadcast_max_rows=0)
+
+    assert mf.stage_rows_total(spark, d2, "docstats") == docs.count()
+
+    key = lambda r: (r.term_id, r.shard, r.doc_id, r.tf, r.dl)
+    a = sorted(map(key, unpack_postings(
+        spark.read.parquet(f"{index_dir}/postings")).collect()))
+    b = sorted(map(key, unpack_postings(
+        spark.read.parquet(f"{d2}/postings")).collect()))
+    assert a == b
+
+    wd = _collect_topk(
+        bm25_topk_indexed(spark, d2, queries_df(spark), k=10, method="wand")
+    )
+    base = _collect_topk(
+        bm25_topk_indexed(spark, index_dir, queries_df(spark), k=10, method="wand")
+    )
+    assert wd == base
+
+
 def test_resume_with_different_params_raises(spark, index_dir, tmp_path):
     """Completed artifacts are keyed by pmod(xxhash64(doc_id), n_partitions);
     resuming under different parameters must refuse instead of silently
