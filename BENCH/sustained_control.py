@@ -58,11 +58,34 @@ print(__import__("json").dumps(times))
 """
 
 
-def run_width(width: int, seconds: float) -> dict:
+_STREAM_WORKER_SRC = """
+import sys, time, numpy as np
+deadline = float(sys.argv[1])
+# DRAM-bound STREAM-triad block: the sort worker's 32MB working set is
+# mostly L3-resident on this host, so it reads CPU delivery, not memory
+# bandwidth -- which is what Spark's shuffle/parquet/hash phases contend
+# on at width 8. 64M doubles x 3 arrays = 1.5GB per worker, far past LLC.
+n = 64_000_000
+b = np.full(n, 1.5); c = np.full(n, 0.5); a = np.empty(n)
+for _ in range(2):
+    np.multiply(b, 1.0000001, out=a); a += c   # warmup faults pages in
+times = []
+while time.monotonic() < deadline:
+    t0 = time.monotonic()
+    for _ in range(4):
+        np.multiply(b, 1.0000001, out=a)
+        a += c
+    times.append(time.monotonic() - t0)
+print(__import__("json").dumps(times))
+"""
+
+
+def run_width(width: int, seconds: float, mode: str = "sort") -> dict:
     deadline = time.monotonic() + seconds
+    src = _STREAM_WORKER_SRC if mode == "stream" else _WORKER_SRC
     procs = [
         subprocess.Popen(
-            ["taskset", "-c", str(core), sys.executable, "-c", _WORKER_SRC,
+            ["taskset", "-c", str(core), sys.executable, "-c", src,
              str(deadline)],
             stdout=subprocess.PIPE, text=True,
         )
@@ -88,14 +111,16 @@ def main() -> None:
     ap.add_argument("--seconds", type=float, default=120.0)
     ap.add_argument("--widths", default="2,8,4,8,2")
     ap.add_argument("--label", default="S-sustained")
+    ap.add_argument("--mode", default="sort", choices=("sort", "stream"))
     args = ap.parse_args()
     sys.path.insert(0, str(REPO))
     from bench import cpu_control_reading
 
     out = {"mode": "sustained_session", "label": args.label,
+           "workload": args.mode,
            "pre": cpu_control_reading(), "widths": []}
     for w in (int(x) for x in args.widths.split(",")):
-        rec = run_width(w, args.seconds)
+        rec = run_width(w, args.seconds, mode=args.mode)
         out["widths"].append(rec)
         print(json.dumps(rec), flush=True)
         time.sleep(5)
