@@ -48,7 +48,9 @@ acc = 0.0
 for _ in range(2):          # warmup: fault pages in, settle the allocator
     acc += float(np.sort(src)[0])
 times = []
-while time.monotonic() < deadline:
+# at high widths, allocation+warmup can consume the whole window while all
+# workers fault pages concurrently -- always record at least one block
+while not times or time.monotonic() < deadline:
     t0 = time.monotonic()
     for _ in range(4):
         b = np.sort(src)
@@ -70,7 +72,9 @@ b = np.full(n, 1.5); c = np.full(n, 0.5); a = np.empty(n)
 for _ in range(2):
     np.multiply(b, 1.0000001, out=a); a += c   # warmup faults pages in
 times = []
-while time.monotonic() < deadline:
+# at high widths, allocation+warmup can consume the whole window while all
+# workers fault pages concurrently -- always record at least one block
+while not times or time.monotonic() < deadline:
     t0 = time.monotonic()
     for _ in range(4):
         np.multiply(b, 1.0000001, out=a)
@@ -80,9 +84,34 @@ print(__import__("json").dumps(times))
 """
 
 
+_GATHER_WORKER_SRC = """
+import sys, time, numpy as np
+deadline = float(sys.argv[1])
+# Random-access gather block: closest stationary proxy for Spark's
+# hash-join / shuffle / dictionary traffic (DRAM latency-bound, defeats
+# the prefetcher the STREAM triad rewards). 128M floats = 1GB table,
+# 16M random indices per gather.
+rng = np.random.default_rng(0)
+table = rng.standard_normal(128_000_000).astype(np.float32)
+idx = rng.integers(0, table.size, 16_000_000)
+acc = 0.0
+for _ in range(2):
+    acc += float(table[idx[:1_000_000]].sum())   # warmup
+times = []
+# at high widths, allocation+warmup can consume the whole window while all
+# workers fault pages concurrently -- always record at least one block
+while not times or time.monotonic() < deadline:
+    t0 = time.monotonic()
+    for _ in range(4):
+        acc += float(table[idx].sum())
+    times.append(time.monotonic() - t0)
+print(__import__("json").dumps(times))
+"""
+
 def run_width(width: int, seconds: float, mode: str = "sort") -> dict:
     deadline = time.monotonic() + seconds
-    src = _STREAM_WORKER_SRC if mode == "stream" else _WORKER_SRC
+    src = {"stream": _STREAM_WORKER_SRC,
+           "gather": _GATHER_WORKER_SRC}.get(mode, _WORKER_SRC)
     procs = [
         subprocess.Popen(
             ["taskset", "-c", str(core), sys.executable, "-c", src,
@@ -111,7 +140,8 @@ def main() -> None:
     ap.add_argument("--seconds", type=float, default=120.0)
     ap.add_argument("--widths", default="2,8,4,8,2")
     ap.add_argument("--label", default="S-sustained")
-    ap.add_argument("--mode", default="sort", choices=("sort", "stream"))
+    ap.add_argument("--mode", default="sort",
+                    choices=("sort", "stream", "gather"))
     args = ap.parse_args()
     sys.path.insert(0, str(REPO))
     from bench import cpu_control_reading
@@ -127,14 +157,15 @@ def main() -> None:
     out["post"] = cpu_control_reading()
     with open(SESSIONS, "a") as f:
         f.write(json.dumps(out) + "\n")
+    base_w = min(r["width"] for r in out["widths"])
     base = statistics.median(
-        [r["block_med_overall"] for r in out["widths"] if r["width"] == 2]
+        [r["block_med_overall"] for r in out["widths"] if r["width"] == base_w]
     )
     print(json.dumps({
         "summary": {
             str(r["width"]): {
                 "block_med": r["block_med_overall"],
-                "per_core_delivery_vs_w2": round(
+                f"per_core_delivery_vs_w{base_w}": round(
                     base / r["block_med_overall"], 3
                 ),
             }
