@@ -96,32 +96,47 @@ def with_shard(tf_dl: DataFrame, n_shards: int) -> DataFrame:
     )
 
 
-def _pack_partition(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
-    """Vectorized whole-partition block packer. ``pdf`` holds complete
-    (term_id, shard) groups in any order; the partition is lexsorted HERE in
-    NumPy on int64 keys — no JVM sortWithinPartitions, and since round 2 no
-    string factorize either (term strings never enter the posting pipeline;
-    see pack_postings). One varbyte pass per stream for ALL blocks;
-    per-block stats via ufunc.reduceat — no per-group pandas objects, no
-    per-block Python beyond byte slicing."""
+def _ranges_to_indices(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Concatenate [s, s+len) integer ranges into one index array — the
+    vectorized scatter map for per-block byte segments (no Python loop)."""
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    block_of = np.repeat(np.arange(len(starts)), lens)
+    offs = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    return np.arange(total, dtype=np.int64) - offs[block_of] + starts[block_of]
+
+
+def _pack_arrays(
+    term_ids: np.ndarray,
+    shards: np.ndarray,
+    docs: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    block_size: int,
+):
+    """Vectorized whole-partition block packer over raw NumPy columns; the
+    partition is lexsorted HERE on int64 keys — no JVM sortWithinPartitions,
+    no string factorize (term strings never enter the posting pipeline; see
+    pack_postings). One varbyte pass per stream for ALL blocks; per-block
+    stats via ufunc.reduceat; the per-block payload column is assembled as
+    ONE buffer + offsets and returned as an Arrow RecordBatch — zero
+    per-block Python objects (the previous pandas kernel built a Python
+    bytes object per block: at 4M-row pack tasks that loop plus the
+    pandas<->Arrow round trip dominated the whole build's profile)."""
+    import pyarrow as pa
+
     from geometric_aware_retrieval_v2_spark.functions.varbyte import (
         varbyte_encode_with_lengths,
     )
 
-    n = len(pdf)
-    tid0 = pdf["term_id"].to_numpy(dtype=np.int64)
-    order = np.lexsort(
-        (
-            pdf["doc_id"].to_numpy(dtype=np.int64),
-            pdf["shard"].to_numpy(),
-            tid0,
-        )
-    )
-    term_ids = tid0[order]
-    shards = pdf["shard"].to_numpy()[order]
-    docs = pdf["doc_id"].to_numpy(dtype=np.int64)[order]
-    tfs = pdf["tf"].to_numpy(dtype=np.uint64)[order]
-    dls = pdf["dl"].to_numpy(dtype=np.uint64)[order]
+    n = len(term_ids)
+    order = np.lexsort((docs, shards, term_ids))
+    term_ids = term_ids[order]
+    shards = shards[order]
+    docs = docs[order]
+    tfs = tfs[order]
+    dls = dls[order]
 
     new_group = np.empty(n, dtype=bool)
     new_group[0] = True
@@ -148,23 +163,63 @@ def _pack_partition(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
 
     block_id = within[bstart] // block_size
 
-    payload = [
-        g_bytes[g_off[s] : g_off[e]] + t_bytes[t_off[s] : t_off[e]] + d_bytes[d_off[s] : d_off[e]]
-        for s, e in zip(bstart, bend)
-    ]
-    return pd.DataFrame(
-        {
-            "term_id": term_ids[bstart],
-            "shard": shards[bstart].astype(np.int32),
-            "block_id": block_id.astype(np.int32),
-            "first_doc": docs[bstart],
-            "last_doc": docs[bend - 1],
-            "n": (bend - bstart).astype(np.int32),
-            "max_tf": np.maximum.reduceat(tfs, bstart).astype(np.int32),
-            "min_dl": np.minimum.reduceat(dls, bstart).astype(np.int32),
-            "bytes": payload,
-        }
+    # per-block payload = g-segment + t-segment + d-segment, assembled by
+    # three vectorized scatters into one output buffer (each stream is
+    # already in block order, so its source is the whole encoded stream)
+    g_blk = (g_off[bend] - g_off[bstart]).astype(np.int64)
+    t_blk = (t_off[bend] - t_off[bstart]).astype(np.int64)
+    d_blk = (d_off[bend] - d_off[bstart]).astype(np.int64)
+    blk_len = g_blk + t_blk + d_blk
+    out_off = np.concatenate(([0], np.cumsum(blk_len)))
+    total = int(out_off[-1])
+    if total >= 2**31:  # Arrow binary offsets are int32; pack_width bounds
+        raise ValueError(
+            f"pack task payload {total} bytes exceeds 2GiB — widen the pack "
+            "shuffle (pack_width) before packing"
+        )
+    out = np.empty(total, dtype=np.uint8)
+    dest_g = out_off[:-1]
+    dest_t = dest_g + g_blk
+    dest_d = dest_t + t_blk
+    out[_ranges_to_indices(dest_g, g_blk)] = np.frombuffer(g_bytes, np.uint8)
+    out[_ranges_to_indices(dest_t, t_blk)] = np.frombuffer(t_bytes, np.uint8)
+    out[_ranges_to_indices(dest_d, d_blk)] = np.frombuffer(d_bytes, np.uint8)
+
+    offsets = out_off.astype(np.int32)
+    payload = pa.Array.from_buffers(
+        pa.binary(), len(bstart),
+        [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(out.tobytes())],
+        null_count=0,
     )
+    return pa.RecordBatch.from_arrays(
+        [
+            pa.array(term_ids[bstart], type=pa.int64()),
+            pa.array(shards[bstart].astype(np.int32), type=pa.int32()),
+            pa.array(block_id.astype(np.int32), type=pa.int32()),
+            pa.array(docs[bstart], type=pa.int64()),
+            pa.array(docs[bend - 1], type=pa.int64()),
+            pa.array((bend - bstart).astype(np.int32), type=pa.int32()),
+            pa.array(np.maximum.reduceat(tfs, bstart).astype(np.int32),
+                     type=pa.int32()),
+            pa.array(np.minimum.reduceat(dls, bstart).astype(np.int32),
+                     type=pa.int32()),
+            payload,
+        ],
+        names=["term_id", "shard", "block_id", "first_doc", "last_doc",
+               "n", "max_tf", "min_dl", "bytes"],
+    )
+
+
+def _pack_partition(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
+    """pandas adapter over _pack_arrays (tests and small callers)."""
+    return _pack_arrays(
+        pdf["term_id"].to_numpy(dtype=np.int64),
+        pdf["shard"].to_numpy(),
+        pdf["doc_id"].to_numpy(dtype=np.int64),
+        pdf["tf"].to_numpy(dtype=np.uint64),
+        pdf["dl"].to_numpy(dtype=np.uint64),
+        block_size,
+    ).to_pandas()
 
 
 def pack_postings(
@@ -188,7 +243,7 @@ def pack_postings(
     unchanged — a config change, not implemented until needed.
 
     Physical plan: ONE shuffle (repartition on the salted (term_id, shard)
-    key) + a vectorized ``mapInPandas`` pass. Grouping via repartition
+    key) + a vectorized ``mapInArrow`` pass. Grouping via repartition
     instead of groupBy().applyInPandas avoids per-group Arrow/pandas
     overhead — with vocab-scale group counts (millions of terms) per-group
     UDF dispatch dominates otherwise.
@@ -209,15 +264,35 @@ def pack_postings(
     else:
         df = tf_dl.repartition("term_id", "shard")
 
-    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # buffer the partition: groups must be complete before packing
-        pdfs = [p for p in batches if len(p)]
-        if not pdfs:
+    def pack(batches):
+        # buffer the partition (groups must be complete before packing) as
+        # plain NumPy columns straight off the Arrow batches — no pandas
+        # concat on the way in, no per-block Python bytes on the way out
+        cols: dict[str, list[np.ndarray]] = {
+            "term_id": [], "shard": [], "doc_id": [], "tf": [], "dl": []
+        }
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            for name in cols:
+                cols[name].append(
+                    rb.column(rb.schema.get_field_index(name))
+                    .to_numpy(zero_copy_only=False)
+                )
+        if not cols["term_id"]:
             return
-        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
-        yield _pack_partition(pdf, block_size)
+        cat = {k: (np.concatenate(v) if len(v) > 1 else v[0])
+               for k, v in cols.items()}
+        yield _pack_arrays(
+            cat["term_id"].astype(np.int64, copy=False),
+            cat["shard"],
+            cat["doc_id"].astype(np.int64, copy=False),
+            cat["tf"].astype(np.uint64, copy=False),
+            cat["dl"].astype(np.uint64, copy=False),
+            block_size,
+        )
 
-    return df.mapInPandas(pack, schema=POSTINGS_SCHEMA)
+    return df.mapInArrow(pack, schema=POSTINGS_SCHEMA)
 
 
 def unpack_postings(postings: DataFrame) -> DataFrame:
