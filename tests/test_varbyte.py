@@ -50,3 +50,56 @@ def test_three_stream_block_roundtrip():
     assert np.array_equal(d, ids)
     assert np.array_equal(t.astype(np.int64), tfs)
     assert np.array_equal(l.astype(np.int64), dls)
+
+
+def test_ranges_to_indices():
+    from geometric_aware_retrieval_v2_spark.operators.postings import (
+        _ranges_to_indices,
+    )
+
+    starts = np.array([5, 0, 10], dtype=np.int64)
+    lens = np.array([3, 0, 2], dtype=np.int64)
+    assert _ranges_to_indices(starts, lens).tolist() == [5, 6, 7, 10, 11]
+    assert _ranges_to_indices(np.array([], dtype=np.int64),
+                              np.array([], dtype=np.int64)).size == 0
+
+
+def test_pack_arrays_matches_per_block_reference():
+    """The Arrow kernel's one-buffer payload assembly must produce, block by
+    block, exactly the bytes the single-block reference encoder produces."""
+    from geometric_aware_retrieval_v2_spark.operators.postings import _pack_arrays
+
+    rng = np.random.default_rng(3)
+    n = 5000
+    vocab = rng.integers(-(2**62), 2**62, 17)
+    term_ids = vocab[rng.integers(0, len(vocab), n)]
+    shards = rng.integers(0, 4, n).astype(np.int32)
+    docs = rng.integers(-(2**62), 2**62, n)
+    # unique (term, shard, doc) keys so the reference sort is unambiguous
+    _, keep = np.unique(
+        np.stack([term_ids, shards, docs]), axis=1, return_index=True
+    )
+    term_ids, shards, docs = term_ids[keep], shards[keep], docs[keep]
+    m = len(term_ids)
+    tfs = rng.integers(1, 40, m).astype(np.uint64)
+    dls = rng.integers(1, 700, m).astype(np.uint64)
+
+    rb = _pack_arrays(term_ids, shards, docs, tfs, dls, block_size=8)
+    got = rb.to_pandas()
+
+    order = np.lexsort((docs, shards, term_ids))
+    ts, ss, ds, fs, ls = (term_ids[order], shards[order], docs[order],
+                          tfs[order], dls[order])
+    i = 0
+    rows = []
+    while i < len(ts):
+        j = i
+        while (j < len(ts) and ts[j] == ts[i] and ss[j] == ss[i]
+               and j - i < 8):
+            j += 1
+        rows.append((ts[i], ss[i], _encode_block(ds[i:j], fs[i:j], ls[i:j])))
+        i = j
+    assert len(rows) == len(got)
+    for (t_ref, s_ref, b_ref), (_, r) in zip(rows, got.iterrows()):
+        assert r["term_id"] == t_ref and r["shard"] == s_ref
+        assert bytes(r["bytes"]) == b_ref
