@@ -153,6 +153,19 @@ def q_forman_curvature(spark: SparkSession, sf_dir: str) -> DataFrame:
     return forman_curvature(_knn_edges(spark, sf_dir, k=5))
 
 
+def q_ollivier_curvature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Ollivier-Ricci curvature (primal integer min-cost flow),
+    gated against a DuckDB LP-dual enumeration — the two sides agree bit-
+    exactly iff strong duality is attained, so this gate cross-proves the
+    optimal-transport solver itself. Degree-capped because the dual
+    enumeration is 7^deg per edge (pytest covers arbitrary degrees)."""
+    from geometric_aware_retrieval_v2_spark.operators.curvature import (
+        ollivier_curvature,
+    )
+
+    return ollivier_curvature(_knn_edges(spark, sf_dir, k=4), max_degree=4)
+
+
 def q_node_curvature(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geometric_aware_retrieval_v2_spark.operators.curvature import (
         forman_curvature,
@@ -703,6 +716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_edges": q_knn_edges,
         "knn_edges_ivf": q_knn_edges_ivf,
         "forman_curvature": q_forman_curvature,
+        "ollivier_curvature": q_ollivier_curvature,
         "node_curvature": q_node_curvature,
         "cosine_topk": q_cosine_topk,
         "curvature_mix_topk": q_curvature_mix_topk,
@@ -764,6 +778,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_edges": oracles.knn_edges_sql(k=5),
         "knn_edges_ivf": oracles.knn_edges_ivf_sql(k=5, every=50, nprobe=3),
         "forman_curvature": oracles.forman_curvature_sql(k=5),
+        "ollivier_curvature": oracles.ollivier_curvature_sql(knn_k=4, cap=4),
         "node_curvature": oracles.node_curvature_sql(k=5),
         "cosine_topk": oracles.cosine_topk_sql(k=10),
         "curvature_mix_topk": oracles.curvature_mix_topk_sql(alpha=0.3, k=10),

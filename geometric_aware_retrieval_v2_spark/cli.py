@@ -51,6 +51,10 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     a = sub.add_parser("audit")
     a.add_argument("--embeddings", required=True, help="parquet (vec_id, embedding)")
     a.add_argument("--k", type=int, default=5)
+    a.add_argument("--curvature", default="forman",
+                   choices=["forman", "ollivier"],
+                   help="forman (reference fallback parity, default) or "
+                        "exact Ollivier-Ricci (alpha=0.5)")
 
     e = sub.add_parser("eval")
     e.add_argument("--run", required=True, help="parquet (qid, doc_id, score)")
@@ -110,11 +114,19 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         from geometric_aware_retrieval_v2_spark.operators.curvature import (
             forman_curvature,
             node_avg_curvature,
+            ollivier_curvature,
         )
         from geometric_aware_retrieval_v2_spark.operators.knn import knn_edges
 
         edges = knn_edges(spark.read.parquet(args.embeddings), k=args.k)
-        curv = forman_curvature(edges, rounded=False)
+        # reference geo_audit runs ricci_ollivier(backend="auto"), which in
+        # its own environment falls back to Forman (curvature.py:117-142);
+        # here BOTH are real — forman stays the default for parity, and
+        # --curvature ollivier selects the exact OT implementation
+        if args.curvature == "ollivier":
+            curv = ollivier_curvature(edges, rounded=False)
+        else:
+            curv = forman_curvature(edges, rounded=False)
         summary = node_avg_curvature(curv).agg(
             F.round(F.avg("avg_kappa"), 6).alias("mean_kappa"),
             F.round(F.min("avg_kappa"), 6).alias("min_kappa"),

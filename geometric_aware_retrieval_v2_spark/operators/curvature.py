@@ -21,14 +21,43 @@ shuffles, scales to any graph. Zero-weight edges and zero-strength nodes are
 skipped exactly as in the reference (curvature.py:41-48).
 
 Also here: per-node average curvature (lazy `_avg_curv` memo of the
-reference, /root/reference/geoIR/retrieval/index.py:150-161) and the
-Ollivier dispatch note — the reference's Ollivier path needs an optional
-external package and falls back to Forman (curvature.py:127-142); the engine
-implements the always-available Forman path and records that choice.
+reference, /root/reference/geoIR/retrieval/index.py:150-161) and EXACT
+Ollivier-Ricci curvature (`ollivier_curvature`). The reference's Ollivier
+path needs the optional GraphRicciCurvature package and silently falls back
+to Forman when it is absent (curvature.py:117-142) — which is what happens
+in its own environment here. This engine goes further: it implements the
+canonical Ollivier-Ricci curvature (Ollivier 2009; Lin-Lu-Yau 2011)
+EXACTLY, with no external solver, in a shape that distributes:
+
+    kappa(u,v) = 1 - W1(m_u, m_v) / d(u,v)
+
+with m_u the alpha-lazy uniform measure (mass alpha at u, (1-alpha)/deg(u)
+on each neighbor) and hop-count ground metric. Two structural facts make
+the per-edge computation LOCAL (and therefore scalable):
+
+  * every support point x of m_u is within 1 hop of u, so for supports
+    x, y: d(x, y) <= d(x,u) + d(u,v) + d(v,y) <= 3;
+  * d(x, y) = 0 iff x == y; 1 iff adjacent; 2 iff they share ANY common
+    neighbor; else exactly 3 — so the full cost matrix needs only the
+    neighbor SETS of the supports, never a BFS or global APSP.
+
+Masses are scaled to integers (lcm of the rational denominators) so the
+transport LP is integral and functions/ot.py solves it exactly, certified
+by LP duality in the tests. The measure configuration is pinned to the
+canonical published definition: GraphRicciCurvature's weighted-measure
+variants cannot be parity-checked in this sandbox (package not
+installable), and hop-metric alpha-lazy uniform is the standard choice
+for k-NN graphs in the literature.
 """
 
 from __future__ import annotations
 
+from fractions import Fraction
+from math import lcm
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -78,6 +107,153 @@ def forman_curvature(edges: DataFrame, rounded: bool = True) -> DataFrame:
             "dst",
             (F.round(kappa, KAPPA_DECIMALS) if rounded else kappa).alias("kappa"),
         )
+    )
+
+
+def _ollivier_kappa_row(
+    u: int,
+    v: int,
+    nbrs: dict[int, np.ndarray],
+    alpha: Fraction,
+) -> float:
+    """Exact kappa for one edge from the supports' neighbor lists."""
+    from geometric_aware_retrieval_v2_spark.functions.ot import w1_exact_int
+
+    nbrs_u = nbrs[u]
+    nbrs_v = nbrs[v]
+    du, dv = len(nbrs_u), len(nbrs_v)
+    supp_u = [u, *nbrs_u.tolist()]
+    supp_v = [v, *nbrs_v.tolist()]
+    # exact rational masses -> one integer scale for both sides
+    mass_u = [alpha] + [(1 - alpha) / du] * du
+    mass_v = [alpha] + [(1 - alpha) / dv] * dv
+    scale = lcm(*(fr.denominator for fr in mass_u + mass_v))
+    mu = np.array([int(fr * scale) for fr in mass_u], dtype=np.int64)
+    nu = np.array([int(fr * scale) for fr in mass_v], dtype=np.int64)
+    nset = {x: set(nbrs[x].tolist()) for x in set(supp_u) | set(supp_v)}
+    cost = np.empty((du + 1, dv + 1), dtype=np.int64)
+    for i, x in enumerate(supp_u):
+        for j, y in enumerate(supp_v):
+            if x == y:
+                cost[i, j] = 0
+            elif y in nset[x]:
+                cost[i, j] = 1
+            elif nset[x] & nset[y]:
+                cost[i, j] = 2
+            else:
+                cost[i, j] = 3
+    total, _, _, _ = w1_exact_int(mu, nu, cost)
+    # d(u, v) = 1 (hop metric, endpoints adjacent): kappa = 1 - W1
+    return 1.0 - total / scale
+
+
+def ollivier_curvature(
+    edges: DataFrame,
+    alpha: float = 0.5,
+    rounded: bool = True,
+    max_degree: int | None = None,
+) -> DataFrame:
+    """Exact Ollivier-Ricci curvature -> (src, dst, kappa).
+
+    ``max_degree``: emit kappa only for edges whose BOTH endpoints have
+    full-graph degree <= max_degree (adjacency, measures, and costs still
+    come from the full graph). Two uses: bounding per-edge kernel cost on
+    hub nodes at scale, and the driver gate — the DuckDB oracle proves
+    optimality by enumerating integral dual potentials, whose count is
+    7^deg, so the bit-exact cross-check runs on the degree-capped subset
+    while the pytest brute-force twin covers arbitrary degrees.
+
+    ``edges``: undirected (src, dst[, weight]) as produced by
+    ``knn_edges`` (canonical src < dst, no duplicates). ``alpha`` is the
+    laziness of the measure (reference default 0.5,
+    /root/reference/geoIR/geo/curvature.py:70-73); it must be exactly
+    representable as a small rational (0.5, 0.25, ...), which every float
+    literal is — the kernel converts it with Fraction(float) exactly.
+
+    Distributed shape: one hash aggregate builds the adjacency lists, two
+    broadcast-able joins attach the endpoint neighbor lists, one
+    explode+join+re-aggregate gathers the supports' neighbor lists per
+    edge (bounded: <= 2(k+1) supports x k longs each), and an Arrow
+    kernel solves the per-edge integer transport LP. No global state, no
+    APSP — every stage is key-partitioned and linear in |E|.
+    """
+    alpha_fr = Fraction(alpha)
+    if not 0 <= alpha_fr < 1:
+        raise ValueError("alpha must be in [0, 1)")
+    e = edges.select("src", "dst")
+    adj = (
+        e.select(F.col("src").alias("node"), F.col("dst").alias("nbr"))
+        .union(e.select(F.col("dst").alias("node"), F.col("src").alias("nbr")))
+        .groupBy("node")
+        .agg(F.sort_array(F.collect_set("nbr")).alias("nbrs"))
+    )
+    if max_degree is not None:
+        deg = adj.select("node", F.size("nbrs").alias("deg"))
+        e = (
+            e.join(
+                deg.select(
+                    F.col("node").alias("src"), F.col("deg").alias("deg_u")
+                ),
+                "src",
+            )
+            .join(
+                deg.select(
+                    F.col("node").alias("dst"), F.col("deg").alias("deg_v")
+                ),
+                "dst",
+            )
+            .filter(
+                (F.col("deg_u") <= max_degree) & (F.col("deg_v") <= max_degree)
+            )
+            .select("src", "dst")
+        )
+    # supports of edge (u, v) = {u} + N(u) + {v} + N(v); gather each
+    # support's own neighbor list so the kernel can price every cost cell
+    with_u = e.join(adj.withColumnRenamed("node", "src"), "src").withColumnRenamed(
+        "nbrs", "nbrs_u"
+    )
+    with_uv = with_u.join(
+        adj.withColumnRenamed("node", "dst"), "dst"
+    ).withColumnRenamed("nbrs", "nbrs_v")
+    members = with_uv.select(
+        "src",
+        "dst",
+        F.explode(
+            F.array_union(
+                F.array_union("nbrs_u", "nbrs_v"), F.array("src", "dst")
+            )
+        ).alias("node"),
+    )
+    gathered = (
+        members.join(adj, "node")
+        .groupBy("src", "dst")
+        .agg(F.collect_list(F.struct("node", "nbrs")).alias("ball"))
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_src: list[int] = []
+            out_dst: list[int] = []
+            out_kappa: list[float] = []
+            for src, dst, ball in zip(pdf["src"], pdf["dst"], pdf["ball"]):
+                nbrs = {
+                    rec["node"]: np.asarray(rec["nbrs"], dtype=np.int64)
+                    for rec in ball
+                }
+                out_src.append(src)
+                out_dst.append(dst)
+                out_kappa.append(
+                    _ollivier_kappa_row(src, dst, nbrs, alpha_fr)
+                )
+            yield pd.DataFrame(
+                {"src": out_src, "dst": out_dst, "kappa": out_kappa}
+            )
+
+    raw = gathered.mapInPandas(kernel, schema="src long, dst long, kappa double")
+    if not rounded:
+        return raw
+    return raw.select(
+        "src", "dst", F.round("kappa", KAPPA_DECIMALS).alias("kappa")
     )
 
 

@@ -198,6 +198,99 @@ _KAPPA_RAW = (
 )
 
 
+def ollivier_curvature_sql(knn_k: int = 4, cap: int = 4) -> str:
+    """Exact Ollivier-Ricci curvature via LP-DUAL ENUMERATION.
+
+    The Spark operator solves each edge's transport problem on the PRIMAL
+    side (integer min-cost flow, operators/curvature.py). SQL cannot run a
+    flow algorithm, but it can prove the same optimum from the DUAL side:
+    with hop costs in {0..3}, Kantorovich duality has an INTEGRAL optimal
+    potential f with f[u] = 0 and every f[i] in [-3, 3] (c-concave
+    potentials differ by at most the cost range), and for any f the best
+    feasible g is g_j = min_i (c_ij - f_i). So
+
+        W1 = max over f in {-3..3}^deg(u) of
+             sum_i mu_i f_i + sum_j nu_j min_i (c_ij - f_i)
+
+    — a finite enumeration (7^deg per edge), which is why the gate runs on
+    the degree-capped subset (cap=4 -> 2401 assignments/edge; the pytest
+    suite covers arbitrary degrees with a brute-force primal twin). Masses
+    use the alpha=1/2 integer scaling S = 2*du*dv: mu = [du*dv, dv...],
+    nu = [du*dv, du...]. Spark divides by lcm-scaled integers instead —
+    the exact rationals are equal, so the correctly-rounded float64
+    quotients are bit-identical. Costs: 0 iff same node, 1 iff adjacent,
+    2 iff any common neighbor, else exactly 3 (supports are within 1 hop
+    of adjacent endpoints, so hop distance never exceeds 3)."""
+    if cap != 4:
+        raise ValueError("SQL enumeration is generated for cap=4 slots")
+    return f"""
+    WITH edges AS ({knn_edges_sql(knn_k)}),
+    adj AS (
+      SELECT src AS node, dst AS nbr FROM edges
+      UNION ALL SELECT dst AS node, src AS nbr FROM edges
+    ),
+    deg AS (SELECT node, count(*) AS d FROM adj GROUP BY node),
+    ed AS (
+      SELECT e.src, e.dst, a.d AS du, b.d AS dv
+      FROM edges e
+      JOIN deg a ON a.node = e.src JOIN deg b ON b.node = e.dst
+      WHERE a.d <= {cap} AND b.d <= {cap}
+    ),
+    supp_u AS (
+      SELECT src, dst, src AS x, 0 AS i FROM ed
+      UNION ALL
+      SELECT e.src, e.dst, a.nbr AS x,
+             row_number() OVER (PARTITION BY e.src, e.dst ORDER BY a.nbr) AS i
+      FROM ed e JOIN adj a ON a.node = e.src
+    ),
+    supp_v AS (
+      SELECT src, dst, dst AS y, 0 AS j FROM ed
+      UNION ALL
+      SELECT e.src, e.dst, a.nbr AS y,
+             row_number() OVER (PARTITION BY e.src, e.dst ORDER BY a.nbr) AS j
+      FROM ed e JOIN adj a ON a.node = e.dst
+    ),
+    cost AS (
+      SELECT su.src, su.dst, su.i, sv.j,
+        CASE WHEN su.x = sv.y THEN 0
+             WHEN EXISTS (SELECT 1 FROM adj a
+                          WHERE a.node = su.x AND a.nbr = sv.y) THEN 1
+             WHEN EXISTS (SELECT 1 FROM adj a1 JOIN adj a2 ON a1.nbr = a2.nbr
+                          WHERE a1.node = su.x AND a2.node = sv.y) THEN 2
+             ELSE 3 END AS c
+      FROM supp_u su JOIN supp_v sv
+        ON su.src = sv.src AND su.dst = sv.dst
+    ),
+    vals AS (SELECT unnest([-3, -2, -1, 0, 1, 2, 3]) AS fv),
+    fa AS (
+      SELECT DISTINCT e.src, e.dst,
+             list_slice([0, v1.fv, v2.fv, v3.fv, v4.fv], 1, e.du + 1) AS f
+      FROM ed e, vals v1, vals v2, vals v3, vals v4
+    ),
+    gj AS (
+      SELECT c.src, c.dst, a.f, c.j, min(c.c - a.f[c.i + 1]) AS g
+      FROM cost c JOIN fa a ON a.src = c.src AND a.dst = c.dst
+      GROUP BY c.src, c.dst, a.f, c.j
+    ),
+    duals AS (
+      SELECT g.src, g.dst, g.f,
+             sum((CASE WHEN g.j = 0 THEN e.du * e.dv ELSE e.du END) * g.g)
+               AS nug
+      FROM gj g JOIN ed e ON e.src = g.src AND e.dst = g.dst
+      GROUP BY g.src, g.dst, g.f
+    ),
+    best AS (
+      SELECT d.src, d.dst,
+             max(e.dv * list_aggregate(d.f, 'sum') + d.nug) AS w1s
+      FROM duals d JOIN ed e ON e.src = d.src AND e.dst = d.dst
+      GROUP BY d.src, d.dst
+    )
+    SELECT b.src, b.dst,
+           round(1.0 - b.w1s / (2.0 * e.du * e.dv), 6) AS kappa
+    FROM best b JOIN ed e ON e.src = b.src AND e.dst = b.dst
+    """
+
+
 def forman_curvature_sql(k: int = 5, rounded: bool = True) -> str:
     kexpr = f"round({_KAPPA_RAW}, 6)" if rounded else _KAPPA_RAW
     return FORMAN.replace("{kround}", kexpr).replace("{edges}", knn_edges_sql(k))

@@ -212,6 +212,16 @@ def test_cli_audit(spark, tmp_path, capsys):
     assert set(out) == {"mean_kappa", "min_kappa", "max_kappa"}
     assert out["min_kappa"] <= out["mean_kappa"] <= out["max_kappa"]
 
+    # exact Ollivier-Ricci backend: hop-metric kappa is bounded in [-2, 1]
+    rc = cli.main(
+        ["audit", "--embeddings", emb_path, "--k", "5",
+         "--curvature", "ollivier"],
+        spark=spark,
+    )
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert -2.0 <= out["min_kappa"] <= out["mean_kappa"] <= out["max_kappa"] <= 1.0
+
 
 def test_cli_eval(spark, tmp_path, capsys):
     """eval: run + qrels parquet -> mean nDCG/recall@k."""
