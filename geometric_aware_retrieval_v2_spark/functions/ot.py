@@ -44,103 +44,128 @@ def w1_exact_int(
     potentials satisfying f[i] + g[j] <= cost[i, j] everywhere and
     equality wherever plan > 0.
     """
-    mu = np.asarray(mu, dtype=np.int64).copy()
-    nu = np.asarray(nu, dtype=np.int64).copy()
-    cost = np.asarray(cost, dtype=np.int64)
-    if mu.sum() != nu.sum():
+    mu_a = np.asarray(mu, dtype=np.int64)
+    nu_a = np.asarray(nu, dtype=np.int64)
+    cost_a = np.asarray(cost, dtype=np.int64)
+    if mu_a.sum() != nu_a.sum():
         raise ValueError("mu and nu must have equal total mass")
-    if (mu < 0).any() or (nu < 0).any() or (cost < 0).any():
+    if (mu_a < 0).any() or (nu_a < 0).any() or (cost_a < 0).any():
         raise ValueError("masses and costs must be non-negative")
-    m, n = cost.shape
-    plan = np.zeros((m, n), dtype=np.int64)
+    m, n = cost_a.shape
+    # hot inner loops run on plain Python ints/lists: the instances are
+    # tiny (m, n <= ~2k), where per-call NumPy dispatch overhead dominates
+    # any vectorization win by an order of magnitude
+    mu_l = mu_a.tolist()
+    nu_l = nu_a.tolist()
+    cost_l = cost_a.tolist()
+    plan = [[0] * n for _ in range(m)]
+    row_sent = [0] * m  # mass shipped out of each source
+    col_recv = [0] * n  # mass shipped into each sink
     # node potentials: p[0:m] sources, p[m:m+n] sinks (Johnson-style, kept
     # so reduced costs stay >= 0 across augmentations; integers throughout)
-    p = np.zeros(m + n, dtype=np.int64)
+    p = [0] * (m + n)
 
     while True:
-        rem_mu = mu - plan.sum(axis=1)
-        rem_nu = nu - plan.sum(axis=0)
-        if rem_mu.sum() == 0:
+        rem_mu = [mu_l[i] - row_sent[i] for i in range(m)]
+        if not any(rem_mu):
             break
-        # Bellman-Ford from all sources with remaining supply over the
-        # residual graph: forward arcs (i -> m+j) cost c_ij - p_i + p_mj
-        # (cap inf), backward arcs (m+j -> i) cost -(c_ij) + p_mj - p_i
-        # reversed... expressed directly below on raw costs with
-        # potentials folded in.
-        dist = np.full(m + n, _INF, dtype=np.int64)
-        parent = np.full(m + n, -1, dtype=np.int64)
-        dist[:m][rem_mu > 0] = 0
-        for _ in range(m + n):
-            changed = False
-            # forward arcs i -> m+j (always available)
-            for i in range(m):
-                if dist[i] >= _INF:
-                    continue
-                rc = cost[i] - p[i] + p[m : m + n]  # reduced costs row
-                nd = dist[i] + rc
-                upd = nd < dist[m : m + n]
-                if upd.any():
-                    dist[m : m + n][upd] = nd[upd]
-                    parent[m : m + n][upd] = i
-                    changed = True
-            # backward arcs m+j -> i (only where plan > 0)
-            for j in range(n):
-                if dist[m + j] >= _INF:
-                    continue
-                hasflow = plan[:, j] > 0
-                if not hasflow.any():
-                    continue
-                rc = -(cost[:, j] - p[:m] + p[m + j])
-                nd = dist[m + j] + rc
-                upd = hasflow & (nd < dist[:m])
-                if upd.any():
-                    dist[:m][upd] = nd[upd]
-                    parent[:m][upd] = m + j
-                    changed = True
-            if not changed:
+        rem_nu = [nu_l[j] - col_recv[j] for j in range(n)]
+        # Dijkstra from all sources with remaining supply over the residual
+        # graph: forward arcs i -> m+j (cap inf) with reduced cost
+        # c_ij - p_i + p_{m+j}; backward arcs m+j -> i (cap plan_ij) with
+        # the negated reduced cost. Dijkstra is valid because the potential
+        # fold below keeps every residual reduced cost >= 0 (the invariant
+        # the LP-duality certificate in the tests independently confirms);
+        # linear-scan min selection beats a heap at these sizes.
+        dist = [_INF] * (m + n)
+        parent = [-1] * (m + n)
+        done = [False] * (m + n)
+        for i in range(m):
+            if rem_mu[i] > 0:
+                dist[i] = 0
+        while True:
+            a = -1
+            best = _INF
+            for b in range(m + n):
+                if not done[b] and dist[b] < best:
+                    best = dist[b]
+                    a = b
+            if a < 0:
                 break
-        sinks = np.where((rem_nu > 0) & (dist[m : m + n] < _INF))[0]
-        if len(sinks) == 0:
+            done[a] = True
+            da = dist[a]
+            if a < m:
+                ci = cost_l[a]
+                base = da - p[a]
+                for j in range(n):
+                    t = m + j
+                    if not done[t]:
+                        nd = base + ci[j] + p[t]
+                        if nd < dist[t]:
+                            dist[t] = nd
+                            parent[t] = a
+            else:
+                j = a - m
+                if col_recv[j] > 0:
+                    base = da - p[a]
+                    for i in range(m):
+                        if not done[i] and plan[i][j] > 0:
+                            nd = base - cost_l[i][j] + p[i]
+                            if nd < dist[i]:
+                                dist[i] = nd
+                                parent[i] = a
+        j_best = -1
+        best_d = _INF
+        for j in range(n):
+            if rem_nu[j] > 0 and dist[m + j] < best_d:
+                best_d = dist[m + j]
+                j_best = j
+        if j_best < 0:
             raise RuntimeError("no augmenting path; inconsistent instance")
-        j_best = sinks[np.argmin(dist[m + sinks])]
         # walk the path back, find bottleneck
-        path: list[tuple[int, int]] = []  # (i, j) arcs with direction sign
+        path: list[tuple[int, int, bool]] = []  # (i, j, forward)
         node = m + j_best
         bottleneck = rem_nu[j_best]
         while parent[node] != -1:
-            prev = int(parent[node])
+            prev = parent[node]
             if node >= m:  # forward arc prev(i) -> node(j)
-                path.append((prev, node - m))
+                path.append((prev, node - m, True))
             else:  # backward arc prev(m+j) -> node(i)
-                bottleneck = min(bottleneck, plan[node, prev - m])
-                path.append((node, prev - m))
+                b = plan[node][prev - m]
+                if b < bottleneck:
+                    bottleneck = b
+                path.append((node, prev - m, False))
             node = prev
-        bottleneck = min(bottleneck, rem_mu[node])
-        # apply: forward arcs +delta, backward arcs -delta, in path order
-        node2 = m + j_best
-        idx = 0
-        while parent[node2] != -1:
-            prev = int(parent[node2])
-            i, j = path[idx]
-            if node2 >= m:
-                plan[i, j] += bottleneck
+        if rem_mu[node] < bottleneck:
+            bottleneck = rem_mu[node]
+        for i, j, forward in path:
+            if forward:
+                plan[i][j] += bottleneck
+                row_sent[i] += bottleneck
+                col_recv[j] += bottleneck
             else:
-                plan[i, j] -= bottleneck
-            idx += 1
-            node2 = prev
+                plan[i][j] -= bottleneck
+                row_sent[i] -= bottleneck
+                col_recv[j] -= bottleneck
+        # the source end of the path ships the bottleneck out; the sink end
+        # receives it — net effect tracked arc-by-arc above (each backward
+        # arc cancels its forward counterpart's row/col contribution)
         # fold shortest-path distances into the potentials, capped at the
         # augmenting sink's distance (standard SSP update: keeps every
         # residual reduced cost >= 0, including arcs touching nodes the
-        # search did not reach this round)
+        # search did not reach this round).
         # (reduced cost here is c - p_a + p_b, so distances SUBTRACT)
-        p -= np.minimum(dist, dist[m + j_best])
+        cap = dist[m + j_best]
+        for a in range(m + n):
+            da = dist[a]
+            p[a] -= da if da < cap else cap
 
-    f = p[:m].copy()
-    g = -p[m : m + n].copy()
-    # normalize so the dual objective matches exactly: SSP guarantees
-    # f[i] + g[j] == cost on shipping arcs and <= elsewhere already
-    total = int((plan * cost).sum())
-    return total, plan, f, g
+    plan_a = np.array(plan, dtype=np.int64)
+    f = np.array(p[:m], dtype=np.int64)
+    g = -np.array(p[m : m + n], dtype=np.int64)
+    # SSP guarantees f[i] + g[j] == cost on shipping arcs and <= elsewhere
+    total = int((plan_a * cost_a).sum())
+    return total, plan_a, f, g
 
 
 def verify_certificate(

@@ -122,27 +122,61 @@ def _ollivier_kappa_row(
     nbrs_u = nbrs[u]
     nbrs_v = nbrs[v]
     du, dv = len(nbrs_u), len(nbrs_v)
-    supp_u = [u, *nbrs_u.tolist()]
-    supp_v = [v, *nbrs_v.tolist()]
     # exact rational masses -> one integer scale for both sides
-    mass_u = [alpha] + [(1 - alpha) / du] * du
-    mass_v = [alpha] + [(1 - alpha) / dv] * dv
-    scale = lcm(*(fr.denominator for fr in mass_u + mass_v))
-    mu = np.array([int(fr * scale) for fr in mass_u], dtype=np.int64)
-    nu = np.array([int(fr * scale) for fr in mass_v], dtype=np.int64)
+    m_center = alpha
+    m_nbr_u = (1 - alpha) / du
+    m_nbr_v = (1 - alpha) / dv
+    scale = lcm(
+        m_center.denominator, m_nbr_u.denominator, m_nbr_v.denominator
+    )
+    mu_d = {u: int(m_center * scale)}
+    wu = int(m_nbr_u * scale)
+    for x in nbrs_u.tolist():
+        mu_d[x] = mu_d.get(x, 0) + wu
+    nu_d = {v: int(m_center * scale)}
+    wv = int(m_nbr_v * scale)
+    for y in nbrs_v.tolist():
+        nu_d[y] = nu_d.get(y, 0) + wv
+    # cancel shared mass: W1(mu, nu) = W1(mu - mu^nu, nu - mu^nu) because
+    # the hop costs are TRUE graph distances (a metric), so an optimal
+    # plan exists that leaves common mass in place — the LP then runs on
+    # the (typically much smaller) uncancelled remainder
+    for x in set(mu_d) & set(nu_d):
+        c = min(mu_d[x], nu_d[x])
+        mu_d[x] -= c
+        nu_d[x] -= c
+    supp_u = sorted(x for x, w in mu_d.items() if w > 0)
+    supp_v = sorted(y for y, w in nu_d.items() if w > 0)
+    if not supp_u:  # identical measures
+        return 1.0
     nset = {x: set(nbrs[x].tolist()) for x in set(supp_u) | set(supp_v)}
-    cost = np.empty((du + 1, dv + 1), dtype=np.int64)
-    for i, x in enumerate(supp_u):
-        for j, y in enumerate(supp_v):
-            if x == y:
-                cost[i, j] = 0
-            elif y in nset[x]:
-                cost[i, j] = 1
-            elif nset[x] & nset[y]:
-                cost[i, j] = 2
-            else:
-                cost[i, j] = 3
-    total, _, _, _ = w1_exact_int(mu, nu, cost)
+
+    def hop(x: int, y: int) -> int:
+        # supports sit within 1 hop of adjacent endpoints -> d <= 3, and
+        # d = 2 iff any common neighbor exists (see module docstring)
+        if x == y:
+            return 0
+        if y in nset[x]:
+            return 1
+        if nset[x] & nset[y]:
+            return 2
+        return 3
+
+    if len(supp_u) == 1 or len(supp_v) == 1:
+        # single source (or sink): the plan is forced
+        if len(supp_u) == 1:
+            x = supp_u[0]
+            total = sum(nu_d[y] * hop(x, y) for y in supp_v)
+        else:
+            y = supp_v[0]
+            total = sum(mu_d[x] * hop(x, y) for x in supp_u)
+    else:
+        mu = np.array([mu_d[x] for x in supp_u], dtype=np.int64)
+        nu = np.array([nu_d[y] for y in supp_v], dtype=np.int64)
+        cost = np.array(
+            [[hop(x, y) for y in supp_v] for x in supp_u], dtype=np.int64
+        )
+        total, _, _, _ = w1_exact_int(mu, nu, cost)
     # d(u, v) = 1 (hop metric, endpoints adjacent): kappa = 1 - W1
     return 1.0 - total / scale
 
