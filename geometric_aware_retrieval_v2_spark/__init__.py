@@ -23,7 +23,8 @@ Subpackages:
   streaming/  Structured Streaming ingest (incremental windowed aggregation)
 """
 
+from geometric_aware_retrieval_v2_spark.experiment import quick_experiment
 from geometric_aware_retrieval_v2_spark.session import get_spark
 
-__all__ = ["get_spark"]
+__all__ = ["get_spark", "quick_experiment"]
 __version__ = "0.1.0"

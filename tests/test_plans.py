@@ -95,3 +95,38 @@ def test_ingest_input_scan_is_partition_pruned(spark, tmp_path_factory):
     plan = _plan(q)
     part_filters = [l for l in plan.splitlines() if "PartitionFilters" in l]
     assert part_filters and "bp" in part_filters[0], plan
+
+
+def test_quick_experiment_reference_parity():
+    """quick_experiment mirrors the reference prototype exactly: same
+    validation rules, same UserWarning, same hard-coded mock metrics
+    (geoIR/__init__.py:114-128 returns mocks in EVERY environment)."""
+    import warnings
+
+    import pytest
+
+    from geometric_aware_retrieval_v2_spark import quick_experiment
+
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        out = quick_experiment("bge-base", "beir/fiqa", geometric=True)
+    assert any("mock results" in str(w.message) for w in rec)
+    assert out["ndcg_10"] == 0.456
+    assert out["map"] == 0.234
+    assert out["recall_100"] == 0.789
+    assert out["config"]["trainer"]["lambda_ricci"] == 0.1
+    assert out["config"]["encoder"]["model_name"] == "bge-base"
+
+    classic = quick_experiment(geometric=False)
+    assert classic["config"]["trainer"]["lambda_ricci"] == 0.0
+    assert classic["config"]["trainer"]["geodesic"] is False
+
+    # reference validators: k_graph >= 5 hard error, extra fields forbidden
+    with pytest.raises(ValueError, match="k_graph must be >= 5"):
+        quick_experiment(k=3)
+    with pytest.raises(ValueError, match="Unknown trainer parameters"):
+        quick_experiment(bogus_param=1)
+    with pytest.raises(ValueError, match="non-negative"):
+        quick_experiment(lambda_ricci=-1.0)
+    with pytest.warns(UserWarning, match="computationally expensive"):
+        quick_experiment(k=101)
