@@ -43,6 +43,12 @@ def load_pool(
             if rec.get("mode") != "seq" or \
                     (rec.get("lo"), rec.get("hi")) != (lo_cpus, hi_cpus):
                 continue
+            # sessions whose legs failed the solo-control gate measure the
+            # co-tenant, not the engine — excluded from pairs AND legs
+            # (e.g. V14-400k-HEAD4, whose one finished pair read a spurious
+            # superlinear 1.162 off a throttled lo leg)
+            if rec.get("control_invalid"):
+                continue
             # pool ONLY constant-corpus pairs at the requested size: key on
             # lo_files/hi_files (the per-level truth), not n_files —
             # sessions launched with --lo-files/--hi-files used to record
