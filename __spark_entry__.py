@@ -432,6 +432,24 @@ def q_ivf_topk_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, _qvecs(spark, sf_dir), nprobe=2, k=10, centroids=cents)
 
 
+def q_geo_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One forward pass of the geometric training loss (SURVEY row 31 /
+    reference differentiable.py:281-403 + trainer.py:89 epoch-0 schedule)
+    over a deterministic 8-triplet batch drawn from the embeddings table.
+    Hash-gated against oracles.geo_loss_sql, which re-derives the soft-kNN
+    graph, the 5-step heat-kernel Taylor chain, InfoNCE-geo, and the dense
+    Forman hinge relationally; unbounded metrics compare in log10 domain
+    (~9 significant digits)."""
+    from geometric_aware_retrieval_v2_spark.plans.trainer import (
+        geometric_loss_metrics,
+    )
+
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    return geometric_loss_metrics(spark, emb, b=8, n_neg=1)
+
+
 # ------------------------------------------------------------- text analysis
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -739,6 +757,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk_fixed": q_ivf_topk_fixed,
         "ivf_topk_gemm": q_ivf_topk_gemm,
         "ivf_topk_kmeans": q_ivf_topk_kmeans,
+        # training (row 31)
+        "geo_loss": q_geo_loss,
         # text analysis
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
@@ -803,6 +823,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_topk_kmeans": oracles.ivf_topk_kmeans_sql(
             n_cells=16, iters=2, nprobe=2, k=10
         ),
+        "geo_loss": oracles.geo_loss_sql(b=8, n_neg=1),
         "lang_id": oracles.lang_id_sql(),
         "quality_score": oracles.quality_score_sql(),
         "token_stats": oracles.token_stats_sql(),

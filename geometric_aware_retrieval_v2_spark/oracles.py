@@ -1603,3 +1603,188 @@ def events_hourly_sql() -> str:
     FROM events
     GROUP BY 1, 2
     """
+
+
+def geo_loss_sql(
+    b: int = 8,
+    n_neg: int = 1,
+    k_graph: int = 10,
+    gamma: float = 0.2,
+    temperature: float = 0.07,
+    lambda_ricci: float = 0.1,
+    kappa_target: float = 0.0,
+    heat_time: float = 1.0,
+    heat_steps: int = 5,
+) -> str:
+    """Relational twin of plans.trainer.geometric_loss_metrics — the full
+    geometric training-loss forward (reference differentiable.py:281-403)
+    re-derived step for step in SQL over the first b*(2+n_neg) embedding
+    rows (query / positive / negative node layout, differentiable.py:342-347):
+
+      L2-normalise -> squared-L2 cdist -> diag-masked row softmax at the
+      epoch-0 gamma -> tau-fix rows to mass k -> hard top-k (boundary = each
+      side's own k-th value) -> symmetrize -> renormalise -> W = A*D2 ->
+      normalized-Laplacian heat kernel as an UNROLLED Taylor chain
+      (term_s = term_{s-1} @ (-tL) / s, the engine's association) ->
+      InfoNCE-geo over the (pos, negs) geodesic logits -> dense Forman
+      hinge (documented formula, sum_k w_ik*w_jk/sqrt(w_ij*w_ik*w_jk+eps),
+      over ALL n^2 (i,j) including eps-floored zero-edge and diagonal
+      entries, exactly like the dense tensor computation).
+
+    Unbounded metrics are emitted as round(log10(|x|), 9) — see
+    geometric_loss_metrics for why absolute 9-dp rounding cannot gate a
+    ~1e11 value across summation orders."""
+    total = b * (2 + n_neg)
+    k = min(k_graph, total - 1)
+    tmul = f"(-1.0 / {temperature})"
+    terms = []
+    for s in range(1, heat_steps + 1):
+        terms.append(
+            f"""term{s} AS MATERIALIZED (
+      SELECT tt.i, m.j, sum(tt.v * m.mv) / {s} AS v
+      FROM term{s - 1} tt JOIN mmat m ON m.i = tt.j
+      GROUP BY tt.i, m.j
+    )"""
+        )
+    chain = ",\n    ".join(terms)
+    ksum = " UNION ALL ".join(
+        f"SELECT i, j, v FROM term{s}" for s in range(0, heat_steps + 1)
+    )
+    return f"""
+    WITH nodes AS MATERIALIZED (
+      SELECT vec_id AS i,
+             list_transform(v, x -> x / sqrt(list_inner_product(v, v))) AS en
+      FROM ({EMB}) WHERE vec_id < {total}
+    ),
+    d2 AS MATERIALIZED (
+      SELECT a.i, bb.i AS j,
+             greatest(list_inner_product(a.en, a.en)
+                      + list_inner_product(bb.en, bb.en)
+                      - 2 * list_inner_product(a.en, bb.en), 0.0) AS d2
+      FROM nodes a CROSS JOIN nodes bb
+    ),
+    lgt AS (SELECT i, j, -d2 / {gamma} AS lg FROM d2 WHERE i <> j),
+    rowmax AS (SELECT i, max(lg) AS mx FROM lgt GROUP BY i),
+    ex AS MATERIALIZED (
+      SELECT l.i, l.j, exp(l.lg - r.mx) AS ex
+      FROM lgt l JOIN rowmax r ON r.i = l.i
+    ),
+    pmat AS (SELECT i, j, ex / sum(ex) OVER (PARTITION BY i) AS p FROM ex),
+    a1 AS MATERIALIZED (
+      SELECT i, j, p * ({k} / sum(p) OVER (PARTITION BY i)) AS a FROM pmat
+    ),
+    kth AS (
+      SELECT i, a AS kv FROM (
+        SELECT i, a, row_number() OVER (PARTITION BY i ORDER BY a DESC) AS rn
+        FROM a1
+      ) WHERE rn = {k}
+    ),
+    a2 AS (
+      SELECT a1.i, a1.j,
+             CASE WHEN a1.a >= kk.kv THEN a1.a ELSE 0.0 END AS a
+      FROM a1 JOIN kth kk ON kk.i = a1.i
+    ),
+    a3 AS MATERIALIZED (
+      SELECT x.i, x.j, 0.5 * (x.a + y.a) AS a
+      FROM a2 x JOIN a2 y ON y.i = x.j AND y.j = x.i
+    ),
+    rsum AS (SELECT i, sum(a) AS s FROM a3 GROUP BY i),
+    wmat AS MATERIALIZED (
+      SELECT a3.i, a3.j, (a3.a * ({k} / (r.s + 1e-8))) * d.d2 AS w
+      FROM a3 JOIN rsum r ON r.i = a3.i
+      JOIN d2 d ON d.i = a3.i AND d.j = a3.j
+    ),
+    asym AS MATERIALIZED (
+      SELECT x.i, x.j, 0.5 * (x.w + y.w) AS w
+      FROM wmat x JOIN wmat y ON y.i = x.j AND y.j = x.i
+    ),
+    deg AS (SELECT i, sum(w) AS deg FROM asym GROUP BY i),
+    dinv AS (SELECT i, 1.0 / sqrt(deg + 1e-8) AS dv FROM deg),
+    lrows AS (
+      SELECT i, j, -w AS lv FROM asym
+      UNION ALL
+      SELECT i, i AS j, deg AS lv FROM deg
+    ),
+    mmat AS MATERIALIZED (
+      SELECT l.i, l.j, ((di.dv * l.lv) * dj.dv) * (-{heat_time}) AS mv
+      FROM lrows l
+      JOIN dinv di ON di.i = l.i
+      JOIN dinv dj ON dj.i = l.j
+    ),
+    term0 AS MATERIALIZED (SELECT i, i AS j, 1.0 AS v FROM nodes),
+    {chain},
+    kmat AS MATERIALIZED (SELECT i, j, sum(v) AS kv FROM ({ksum}) GROUP BY i, j),
+    kk AS (SELECT i, sum(kv * kv) AS kk FROM kmat GROUP BY i),
+    dpair AS MATERIALIZED (
+      -- geodesic distance for the gathered (query, pos) and (query, neg)
+      -- pairs only: d = ||K_i||^2 + ||K_j||^2 - 2 <K_i, K_j>
+      SELECT p.r, p.role,
+             ki.kk + kj.kk - 2 * coalesce(ip.ip, 0.0) AS d
+      FROM (
+        SELECT i AS r, i + {b} AS j, 'pos' AS role FROM nodes WHERE i < {b}
+        UNION ALL
+        SELECT (g - {2 * b}) // {n_neg} AS r, g AS j, 'neg' AS role
+        FROM (SELECT i AS g FROM nodes WHERE i >= {2 * b})
+      ) p
+      JOIN kk ki ON ki.i = p.r
+      JOIN kk kj ON kj.i = p.j
+      LEFT JOIN (
+        SELECT a.i AS i, bb.i AS j, sum(a.kv * bb.kv) AS ip
+        FROM kmat a JOIN kmat bb ON bb.j = a.j
+        GROUP BY a.i, bb.i
+      ) ip ON ip.i = p.r AND ip.j = p.j
+    ),
+    logits AS MATERIALIZED (
+      SELECT r, role, d * {tmul} AS lg FROM dpair
+    ),
+    lse AS (
+      SELECT l.r,
+             m.mx + ln(sum(exp(l.lg - m.mx))) AS lse,
+             max(CASE WHEN l.role = 'pos' THEN l.lg END) AS first
+      FROM logits l
+      JOIN (SELECT r, max(lg) AS mx FROM logits GROUP BY r) m ON m.r = l.r
+      GROUP BY l.r, m.mx
+    ),
+    info AS (SELECT avg(lse - first) AS loss_info FROM lse),
+    allp AS (SELECT a.i, bb.i AS j FROM nodes a CROSS JOIN nodes bb),
+    asymd AS MATERIALIZED (
+      SELECT p.i, p.j, coalesce(s.w, 0.0) AS w
+      FROM allp p LEFT JOIN asym s ON s.i = p.i AND s.j = p.j
+    ),
+    tri AS MATERIALIZED (
+      SELECT x.i AS i, y.i AS j,
+             sum((x.w * y.w) / sqrt(aij.w * (x.w * y.w) + 1e-9)) AS tv
+      FROM asymd x
+      JOIN asymd y ON y.j = x.j
+      JOIN asymd aij ON aij.i = x.i AND aij.j = y.i
+      GROUP BY x.i, y.i
+    ),
+    kappa AS MATERIALIZED (
+      SELECT t.i, t.j,
+             a.w * (1.0 / (di.deg + 1e-9) + 1.0 / (dj.deg + 1e-9)) - t.tv AS kv
+      FROM tri t
+      JOIN asymd a ON a.i = t.i AND a.j = t.j
+      JOIN deg di ON di.i = t.i
+      JOIN deg dj ON dj.i = t.j
+    ),
+    ricci AS (
+      SELECT avg(CASE WHEN ({kappa_target} - kv) > 0
+                      THEN ({kappa_target} - kv) * ({kappa_target} - kv)
+                      ELSE 0.0 END) AS loss_ricci,
+             avg(kv) AS mean_curvature
+      FROM kappa
+    ),
+    dens AS (
+      SELECT sum(CASE WHEN w > 0 THEN 1.0 ELSE 0.0 END) / {total * total} AS gd
+      FROM wmat
+    )
+    SELECT round(i.loss_info, 9) AS loss_info,
+           round(log10(r.loss_ricci), 9) AS loss_ricci_log10,
+           round(log10(i.loss_info + {lambda_ricci} * r.loss_ricci), 9)
+             AS loss_total_log10,
+           round((SELECT avg(d) FROM dpair WHERE role = 'pos'), 9) AS mean_d_pos,
+           round((SELECT avg(d) FROM dpair WHERE role = 'neg'), 9) AS mean_d_neg,
+           round(log10(-r.mean_curvature), 9) AS neg_mean_curvature_log10,
+           round(d.gd, 9) AS graph_density
+    FROM info i, ricci r, dens d
+    """
