@@ -306,3 +306,43 @@ def test_spark_data_parallel_equals_sequential(spark):
         spark, trips, cfg, dim=16, mode="dual", grad_groups=4
     )
     assert not np.array_equal(enc_g4.Wq, LinearHashEncoder(16, "dual", 9).Wq)
+
+
+def test_spark_grad_group_reduction_matches_local_mean(spark):
+    """grad_groups=G is pinned to its exact contract, not just 'weights
+    moved': the G per-batch gradients (computed executor-side) are averaged
+    and fed to ONE Adam step per group. Recompute that loop driver-side
+    from the same epoch_batches order and assert the final weights are
+    bit-identical."""
+    from geometric_aware_retrieval_v2_spark.functions.hashing import embed_text
+
+    trips = _toy_triplets(16)
+    cfg = TrainerConfig(
+        epochs=2, batch_size=4, lr=1e-3, geodesic=True,
+        lambda_ricci=0.1, k_graph=5, heat_steps=3, seed=9,
+    )
+    enc_g2, _ = train_geometric_spark(
+        spark, trips, cfg, dim=16, mode="dual", grad_groups=2
+    )
+
+    enc = LinearHashEncoder(dim=16, mode="dual", seed=9)
+    phi_q = np.stack([embed_text(q, 16) for q, _, _ in trips])
+    phi_p = np.stack([embed_text(p, 16) for _, p, _ in trips])
+    phi_n = np.stack([embed_text(n, 16) for _, _, n in trips])
+    rng = np.random.default_rng(cfg.seed)
+    opt = Adam(enc.Wq.shape, cfg.lr)
+    for epoch in range(cfg.epochs):
+        gamma = max(0.05, 0.2 * 0.95**epoch)
+        batches = epoch_batches(len(trips), cfg.batch_size, rng)
+        for g0 in range(0, len(batches), 2):
+            grads = np.stack(
+                [
+                    _batch_grad(
+                        phi_q[idx], phi_p[idx], phi_n[idx],
+                        enc.Wq, enc.Wd, enc.mode, cfg, gamma,
+                    )[0]
+                    for idx in batches[g0 : g0 + 2]
+                ]
+            )
+            enc.Wq = opt.step(enc.Wq, grads.mean(axis=0))
+    np.testing.assert_array_equal(enc_g2.Wq, enc.Wq)
