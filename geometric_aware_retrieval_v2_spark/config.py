@@ -18,6 +18,27 @@ from dataclasses import dataclass, field
 VALID_CURVATURE_BACKENDS = {"ricci_ollivier", "forman", "auto"}
 
 
+def validate_geo_params(
+    k_graph: int, lambda_ricci: float, lambda_forman: float
+) -> None:
+    """The reference's shared TrainerConfig/GeoConfig validators
+    (geoIR/core/config.py:35-56), factored once so GeoConfig,
+    plans.trainer.TrainerConfig, and experiment.quick_experiment cannot
+    drift from each other. Backend validation stays per-caller (the
+    reference emits different messages at its two sites)."""
+    if k_graph < 5:
+        raise ValueError("k_graph must be >= 5 for meaningful graph connectivity")
+    if k_graph > 100:
+        warnings.warn(
+            f"k_graph={k_graph} may be computationally expensive for large datasets"
+        )
+    for v in (lambda_ricci, lambda_forman):
+        if v < 0:
+            raise ValueError("Regularization weights must be non-negative")
+        if v > 10.0:
+            warnings.warn(f"Large regularization weight {v} may dominate training")
+
+
 @dataclass
 class GeoConfig:
     """Geometric-stage knobs shared by the rerank/curvature pipelines."""
@@ -30,18 +51,7 @@ class GeoConfig:
     ricci_backend: str = "ricci_ollivier"
 
     def __post_init__(self) -> None:
-        if self.k_graph < 5:
-            raise ValueError("k_graph must be >= 5 for meaningful graph connectivity")
-        if self.k_graph > 100:
-            warnings.warn(
-                f"k_graph={self.k_graph} may be computationally expensive for large datasets"
-            )
-        for name in ("lambda_ricci", "lambda_forman"):
-            v = getattr(self, name)
-            if v < 0:
-                raise ValueError("Regularization weights must be non-negative")
-            if v > 10.0:
-                warnings.warn(f"Large regularization weight {v} may dominate training")
+        validate_geo_params(self.k_graph, self.lambda_ricci, self.lambda_forman)
         if self.ricci_backend not in VALID_CURVATURE_BACKENDS:
             raise ValueError(
                 f"ricci_backend must be one of {VALID_CURVATURE_BACKENDS}, "

@@ -20,26 +20,14 @@ from __future__ import annotations
 import warnings
 from typing import Any
 
+from .config import validate_geo_params
+
 
 def _validate_trainer(trainer: dict[str, Any]) -> None:
     """Reference TrainerConfig validators (geoIR/core/config.py:35-56)."""
-    k = trainer["k_graph"]
-    if k < 5:
-        raise ValueError(
-            "k_graph must be >= 5 for meaningful graph connectivity"
-        )
-    if k > 100:
-        warnings.warn(
-            f"k_graph={k} may be computationally expensive for large datasets"
-        )
-    for key in ("lambda_ricci", "lambda_forman"):
-        v = trainer[key]
-        if v < 0:
-            raise ValueError("Regularization weights must be non-negative")
-        if v > 10.0:
-            warnings.warn(
-                f"Large regularization weight {v} may dominate training"
-            )
+    validate_geo_params(
+        trainer["k_graph"], trainer["lambda_ricci"], trainer["lambda_forman"]
+    )
     if trainer["ricci_backend"] not in {"ricci_ollivier", "forman", "auto"}:
         raise ValueError(f"Invalid ricci_backend: {trainer['ricci_backend']}")
 

@@ -59,7 +59,7 @@ from typing import Sequence
 
 import numpy as np
 
-from ..config import VALID_CURVATURE_BACKENDS
+from ..config import VALID_CURVATURE_BACKENDS, validate_geo_params
 from ..functions import autodiff as ad
 from ..functions.hashing import embed_text
 
@@ -89,23 +89,7 @@ class TrainerConfig:
     seed: int = 0
 
     def __post_init__(self) -> None:
-        if self.k_graph < 5:
-            raise ValueError(
-                "k_graph must be >= 5 for meaningful graph connectivity"
-            )
-        if self.k_graph > 100:
-            warnings.warn(
-                f"k_graph={self.k_graph} may be computationally expensive "
-                "for large datasets"
-            )
-        for name in ("lambda_ricci", "lambda_forman"):
-            v = getattr(self, name)
-            if v < 0:
-                raise ValueError("Regularization weights must be non-negative")
-            if v > 10.0:
-                warnings.warn(
-                    f"Large regularization weight {v} may dominate training"
-                )
+        validate_geo_params(self.k_graph, self.lambda_ricci, self.lambda_forman)
         if self.ricci_backend not in VALID_CURVATURE_BACKENDS:
             raise ValueError(
                 f"ricci_backend must be one of {VALID_CURVATURE_BACKENDS}, "
@@ -160,9 +144,15 @@ class LinearHashEncoder:
 
     def encode(self, texts: Sequence[str], is_query: bool) -> np.ndarray:
         w = self.Wq if (is_query or self.mode == "mono") else self.Wd
-        e0 = self.features(texts) @ w.T
-        n = np.linalg.norm(e0, axis=1, keepdims=True)
-        return e0 / np.maximum(n, 1e-12)
+        return _encode_np(self.features(texts), w)
+
+
+def _encode_np(phi: np.ndarray, w: np.ndarray) -> np.ndarray:
+    """Value twin of _encode_var: inference-time encode() and the dual-mode
+    constant doc towers use EXACTLY the function the gradient was trained
+    through (same sqrt(||e||^2 + 1e-12) normalisation, same association)."""
+    e0 = phi @ w.T
+    return e0 / np.sqrt(np.sum(e0 * e0, axis=1, keepdims=True) + 1e-12)
 
 
 def _encode_var(phi: np.ndarray, w: ad.Var) -> ad.Var:
@@ -176,19 +166,25 @@ def _encode_var(phi: np.ndarray, w: ad.Var) -> ad.Var:
 
 
 def soft_knn_graph_ad(
-    e: ad.Var, k: int, gamma: float | None = None
+    e: ad.Var, k: int, gamma: float | None = None, sample_cap: int = 2000
 ) -> tuple[ad.Var, ad.Var, float]:
     """differentiable.py:19-140 on the tape -> (A, W=A*D2, gamma_used).
 
-    gamma auto-calibration replicates soft_knn_graph_np (P20 of positive
-    squared distances / ln k) and is a constant w.r.t. gradients, exactly
-    like the reference's ``with torch.no_grad()`` block
+    gamma auto-calibration replicates soft_knn_graph_np EXACTLY — P20 of
+    positive squared distances / ln k, subsampled to the leading
+    sample_cap x sample_cap block past n=2000 like the transcription
+    (rerank.py soft_knn_graph_np) — and is a constant w.r.t. gradients,
+    exactly like the reference's ``with torch.no_grad()`` block
     (differentiable.py:64-76)."""
     n = e.v.shape[0]
     sq = ad.vsum(ad.mul(e, e), axis=1, keepdims=True)
     d2 = ad.relu(sq + ad.transpose(sq) - 2.0 * ad.matmul(e, ad.transpose(e)))
     if gamma is None:
-        vals = d2.v[np.triu_indices(n, 1)]
+        if n <= sample_cap:
+            vals = d2.v[np.triu_indices(n, 1)]
+        else:
+            sub = d2.v[:sample_cap, :sample_cap]
+            vals = sub[np.triu_indices(sample_cap, 1)]
         pos = vals[vals > 0]
         p20 = np.percentile(pos, 20) if pos.size else 1.0
         gamma = max(float(p20 / np.log(max(k, 2))), 1e-12)
@@ -258,6 +254,14 @@ def geometric_loss_ad(
     q/p: (B,D); negs: (B*N, D) laid out query-major like the reference's
     ``neg_embeddings.view(B*N, D)`` (differentiable.py:346,362-368)."""
     b = q.v.shape[0]
+    if negs.v.shape[0] % b != 0:
+        # the reference's .view(B*N, D) raises on a ragged negative set;
+        # silently flooring would train a different objective (leftover
+        # rows would join the graph but never the logits)
+        raise ValueError(
+            f"negs rows ({negs.v.shape[0]}) must be a multiple of the "
+            f"batch size ({b})"
+        )
     n_neg = negs.v.shape[0] // b
     all_e = concat_rows([q, p, negs])
     total = all_e.v.shape[0]
@@ -376,11 +380,12 @@ def _batch_grad(
         p = _encode_var(phi_p, w_var)
         n = _encode_var(phi_n, w_var)
     else:  # doc tower is a constant in dual mode (only q_model optimised)
-        enc_d = lambda phi: phi @ wd.T / np.maximum(  # noqa: E731
-            np.linalg.norm(phi @ wd.T, axis=1, keepdims=True), 1e-12
-        )
-        p, n = ad.Var(enc_d(phi_p)), ad.Var(enc_d(phi_n))
-    if cfg.geodesic:
+        p, n = ad.Var(_encode_np(phi_p, wd)), ad.Var(_encode_np(phi_n, wd))
+    # the reference's per-batch loss choice inside the GEOMETRIC loop keys
+    # on config.geodesic (trainer.py:108-135), but classic mode (both
+    # lambdas zero) never reaches that loop at all (dispatch at
+    # trainer.py:37-39) — so the geometric loss runs only when both hold
+    if cfg.is_geometric_mode and cfg.geodesic:
         loss, metrics = geometric_loss_ad(
             q,
             p,
@@ -429,6 +434,9 @@ class Trainer:
 
     def train(self, triplets: Sequence[tuple[str, str, str]]) -> dict[str, float]:
         cfg = self.config
+        # fresh history per call: the returned summary means must describe
+        # THIS run, not every run this Trainer ever did
+        self.history = {k: [] for k in self.history}
         if cfg.is_classic_mode:
             warnings.warn(
                 "classic mode: sentence-transformers is unavailable; "
@@ -587,6 +595,14 @@ def train_geometric_spark(
     from pyspark.sql import functions as F
 
     cfg = config
+    if cfg.is_classic_mode:
+        # same substitution (and warning) as Trainer.train: classic mode
+        # trains the triplet-margin fallback, here data-parallel
+        warnings.warn(
+            "classic mode: sentence-transformers is unavailable; "
+            "fine-tuning the linear-head encoder with the reference's "
+            "in-loop triplet-margin fallback instead (trainer.py:129-135)."
+        )
     encoder = LinearHashEncoder(dim=dim, mode=mode, seed=cfg.seed)
     queries, pos_docs, neg_docs = zip(*triplets)
 

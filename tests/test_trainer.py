@@ -229,6 +229,76 @@ def test_trainer_classic_mode_warns_and_decreases():
     assert np.mean(t.history["loss"][-3:]) < np.mean(t.history["loss"][:3])
 
 
+def test_classic_dispatch_wins_over_geodesic_flag():
+    """Reference dispatch order: is_classic_mode (both lambdas zero) is
+    checked BEFORE the geometric loop ever consults config.geodesic
+    (reference trainer.py:37-39) — so geodesic=True with zero lambdas
+    still trains the triplet fallback, and the warning matches the loss
+    that actually ran."""
+    cfg = TrainerConfig(
+        epochs=1, batch_size=8, lr=1e-3, geodesic=True, seed=3,
+        k_graph=5, heat_steps=3,
+    )
+    assert cfg.is_classic_mode
+    enc = LinearHashEncoder(dim=16, mode="mono", seed=3)
+    t = Trainer(enc, cfg)
+    with pytest.warns(UserWarning, match="classic mode"):
+        t.train(_toy_triplets(8))
+    # triplet path: loss == loss_nce and no ricci term ever recorded
+    assert t.history["loss"] == t.history["loss_nce"]
+    assert all(v == 0.0 for v in t.history["loss_ricci"])
+
+
+def test_train_twice_resets_history():
+    """A second train() call reports means over ITS batches only."""
+    cfg = TrainerConfig(
+        epochs=1, batch_size=8, lr=1e-3, geodesic=True,
+        lambda_ricci=0.1, k_graph=5, heat_steps=3, seed=4,
+    )
+    t = Trainer(LinearHashEncoder(dim=16, mode="mono", seed=4), cfg)
+    t.train(_toy_triplets(16))
+    assert len(t.history["loss"]) == 2  # 16/8 batches
+    t.train(_toy_triplets(8))
+    assert len(t.history["loss"]) == 1  # fresh, not 3
+
+
+def test_ragged_negatives_raise():
+    """negs not a multiple of b must raise like the reference's .view,
+    not silently drop rows from the logits while keeping them in the
+    graph."""
+    q, p, _ = _rand_batch()
+    bad_negs = _unit(RNG.standard_normal((B * N + 1, D)))
+    with pytest.raises(ValueError, match="multiple of the batch size"):
+        geometric_loss_ad(ad.Var(q), ad.Var(p), ad.Var(bad_negs), k_graph=5)
+
+
+def test_auto_gamma_sample_cap_matches_transcription():
+    """gamma=None past the sample cap subsamples the leading block exactly
+    like soft_knn_graph_np, so the tape's forward stays bit-equal to the
+    gated semantics at any n."""
+    e = _unit(np.random.default_rng(12).standard_normal((30, D)))
+    a_np, w_np = soft_knn_graph_np(e, k=5, gamma=None, sample_cap=20)
+    a_ad, w_ad, _ = soft_knn_graph_ad(ad.Var(e), k=5, gamma=None, sample_cap=20)
+    np.testing.assert_array_equal(a_ad.v, a_np)
+    np.testing.assert_array_equal(w_ad.v, w_np)
+
+
+def test_encode_is_the_trained_function():
+    """Inference-time encode() equals the training-time forward bitwise
+    (same normalisation form), for both towers."""
+    from geometric_aware_retrieval_v2_spark.plans.trainer import _encode_var
+
+    enc = LinearHashEncoder(dim=16, mode="dual", seed=6)
+    texts = ["apple fruit", "car engine", "apple pie"]
+    phi = enc.features(texts)
+    np.testing.assert_array_equal(
+        enc.encode(texts, is_query=True), _encode_var(phi, ad.Var(enc.Wq)).v
+    )
+    np.testing.assert_array_equal(
+        enc.encode(texts, is_query=False), _encode_var(phi, ad.Var(enc.Wd)).v
+    )
+
+
 def test_trainer_deterministic_and_history_keys():
     cfg = TrainerConfig(
         epochs=2, batch_size=8, lr=1e-3, geodesic=True,
