@@ -129,6 +129,15 @@ def _ollivier_kappa_row(
     scale = lcm(
         m_center.denominator, m_nbr_u.denominator, m_nbr_v.denominator
     )
+    if scale > (1 << 60) // 3:
+        # total transport cost is bounded by 3*scale (hop metric <= 3);
+        # past this the int64 kernel could wrap SILENTLY (numpy does not
+        # check overflow) and emit a wrong kappa — refuse instead
+        raise ValueError(
+            f"integer mass scale {scale} too large for the int64 transport "
+            f"kernel (alpha denominator {alpha.denominator} x degrees "
+            f"{du},{dv}); use an alpha with a smaller denominator"
+        )
     mu_d = {u: int(m_center * scale)}
     wu = int(m_nbr_u * scale)
     for x in nbrs_u.tolist():
@@ -200,9 +209,13 @@ def ollivier_curvature(
     ``edges``: undirected (src, dst[, weight]) as produced by
     ``knn_edges`` (canonical src < dst, no duplicates). ``alpha`` is the
     laziness of the measure (reference default 0.5,
-    /root/reference/geoIR/geo/curvature.py:70-73); it must be exactly
-    representable as a small rational (0.5, 0.25, ...), which every float
-    literal is — the kernel converts it with Fraction(float) exactly.
+    /root/reference/geoIR/geo/curvature.py:70-73); it must be a SMALL
+    rational: the conversion snaps the float to the nearest fraction with
+    denominator <= 10^6 and rejects alphas that do not round-trip, because
+    raw Fraction(float) denominators (2^50+ for e.g. 0.1) would push the
+    integer mass scale past int64 and the transport kernel would wrap
+    silently. So alpha=0.1 means exactly 1/10, and the kernel additionally
+    guards the per-edge scale against overflow.
 
     Distributed shape: one hash aggregate builds the adjacency lists, two
     broadcast-able joins attach the endpoint neighbor lists, one
@@ -211,7 +224,12 @@ def ollivier_curvature(
     kernel solves the per-edge integer transport LP. No global state, no
     APSP — every stage is key-partitioned and linear in |E|.
     """
-    alpha_fr = Fraction(alpha)
+    alpha_fr = Fraction(alpha).limit_denominator(10**6)
+    if float(alpha_fr) != float(alpha):
+        raise ValueError(
+            f"alpha={alpha!r} is not a small rational (denominator <= 1e6); "
+            "the exact integer transport kernel needs one"
+        )
     if not 0 <= alpha_fr < 1:
         raise ValueError("alpha must be in [0, 1)")
     e = edges.select("src", "dst")

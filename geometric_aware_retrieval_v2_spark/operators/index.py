@@ -586,11 +586,6 @@ class IndexHandle:
 # collect becomes a driver bottleneck for offline million-query joins
 _ISIN_PUSHDOWN_MAX_TERMS = 4096
 
-# largest distinct-term_id set still hinted broadcast for the semi-join prune
-# on the large-batch path: 16M longs ~ 0.5 GB broadcast-side hash relation,
-# comfortably under Spark's 8 GB hard limit with headroom for row overhead
-_BROADCAST_PRUNE_MAX_TERMS = 16_000_000
-
 # largest interactive batch whose top-k is finished driver-side (coordinator
 # merge). Collect volume is bounded by qids x n_shards x (k + 32) rows
 _DRIVER_FINISH_MAX_QIDS = 256
@@ -625,6 +620,22 @@ def _empty_topk_df(spark: SparkSession) -> DataFrame:
         "(CAST(NULL AS LONG), CAST(NULL AS LONG), CAST(NULL AS DOUBLE), "
         "CAST(NULL AS LONG)) t(qid, doc_id, score, `rank`) WHERE 1=0"
     )
+
+
+def _bounded_cache_fill(cache: dict, keys, fetch, cap: int = 4_000_000) -> None:
+    """Shared bounded-cache fill for the handle's driver-side lookup caches:
+    fetch(missing) must insert every requested key. Eviction past `cap`
+    resets `missing` to ALL keys — previously-cached entries were just
+    wiped, so they must be refetched (the bug class this helper exists to
+    make impossible: clearing without widening the fetch set leaves the
+    subsequent cache[key] lookups raising KeyError)."""
+    missing = [k for k in keys if k not in cache]
+    if not missing:
+        return
+    if len(cache) > cap:
+        cache.clear()
+        missing = list(keys)
+    fetch(missing)
 
 
 def _driver_finish_topk(
@@ -666,21 +677,25 @@ def _driver_finish_topk(
         return df
     ords = sorted({o for _, o, _ in keep})
     dmap = handle._doc_cache
-    missing = [o for o in ords if o not in dmap]
-    if missing:
-        if len(dmap) > 4_000_000:
-            dmap.clear()
-            missing = ords
+
+    def _fetch_docs(missing: list) -> None:
         for r in (
             handle.docmap.filter(F.col("ord").isin(missing))
             .select("ord", "doc_id")
             .collect()
         ):
             dmap[r.ord] = r.doc_id
+
+    _bounded_cache_fill(dmap, ords, _fetch_docs)
+    # one O(n) grouping pass — re-scanning `keep` per qid would be
+    # O(qids * qids * shards * k) of driver CPU on the interactive path
+    keep_by_qid: dict[int, list[tuple[float, int]]] = {}
+    for q, o, s in keep:
+        keep_by_qid.setdefault(q, []).append((s, o))
     out: list[tuple[int, int, float, int]] = []
     for qid in sorted(by_qid):
         cands = sorted(
-            ((s, dmap[o]) for q, o, s in keep if q == qid),
+            ((s, dmap[o]) for s, o in keep_by_qid[qid]),
             key=lambda t: (-t[0], t[1]),
         )[:k]
         out.extend(
@@ -789,23 +804,18 @@ def _candidate_blocks(
             "qid", F.xxhash64("term").alias("term_id")
         )
         # large-batch path (huge offline query logs): prune the postings scan
-        # with a broadcast SEMI-join on the DISTINCT term_id set only — the
-        # full (qid, term_id) frame can be multi-million rows and hinting it
+        # with a SEMI-join on the DISTINCT term_id set only — the full
+        # (qid, term_id) frame can be multi-million rows and hinting it
         # broadcast would blow Spark's 8 GB broadcast limit / driver memory
-        # on exactly the workloads this path exists for. Distinct terms are
-        # usually orders of magnitude fewer than pairs, but a bounded probe
-        # (one narrow job, noise next to the scoring job) verifies that
-        # before pinning the hint; past the cap the hint is dropped and AQE
-        # picks the prune-join strategy at runtime. The qid attach join is
-        # always un-hinted: AQE broadcasts it when qt is small and shuffles
-        # when it is not.
-        qterms_distinct = qt.select("term_id").distinct()
-        small = (
-            qterms_distinct.limit(_BROADCAST_PRUNE_MAX_TERMS + 1).count()
-            <= _BROADCAST_PRUNE_MAX_TERMS
+        # on exactly the workloads this path exists for. No size probe and
+        # no hint: a probe would cost a full distinct shuffle plus a
+        # single-task global-limit count per batch just to decide what AQE
+        # already decides from the REAL post-shuffle size at runtime
+        # (broadcast when the distinct set is small, shuffle join when it
+        # is not). The qid attach join is un-hinted for the same reason.
+        pruned = handle.postings.join(
+            qt.select("term_id").distinct(), "term_id", "left_semi"
         )
-        prune_side = F.broadcast(qterms_distinct) if small else qterms_distinct
-        pruned = handle.postings.join(prune_side, "term_id", "left_semi")
         return pruned.join(qt, "term_id").join(idf_dict, "term_id"), None
     pairs = sorted({(r.qid, r.term_id) for r in pair_rows})
     if not pairs:
@@ -820,10 +830,8 @@ def _candidate_blocks(
     # boundary the gates hash.
     cache = handle._df_cache
     qterm_list = sorted({t for _, t in pairs})
-    missing = [t for t in qterm_list if t not in cache]
-    if missing:
-        if len(cache) > 4_000_000:
-            cache.clear()
+
+    def _fetch_dfs(missing: list) -> None:
         for r in (
             handle.dictionary.filter(F.col("term_id").isin(missing))
             .select("term_id", "df")
@@ -832,6 +840,8 @@ def _candidate_blocks(
             cache[r.term_id] = r.df
         for t in missing:
             cache.setdefault(t, 0)
+
+    _bounded_cache_fill(cache, qterm_list, _fetch_dfs)
     trip = [(q, t, cache[t]) for q, t in pairs if cache[t] > 0]
     if not trip:
         return None, None  # every term OOV: nothing can score
@@ -877,6 +887,10 @@ def bm25_topk_indexed(
     test_driver_finish_matches_distributed_tail."""
     if finish not in ("auto", "driver", "distributed"):
         raise ValueError(f"finish must be auto|driver|distributed, got {finish!r}")
+    if k < 1:
+        # the driver finish would slice nonsense (scores[k-1] wraps negative)
+        # while the distributed window returns empty — fail loudly instead
+        raise ValueError(f"k must be >= 1, got {k}")
     handle = IndexHandle(spark, index) if isinstance(index, str) else index
     meta = handle.meta
     use_wand = method == "wand"

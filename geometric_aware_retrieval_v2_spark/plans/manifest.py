@@ -96,26 +96,43 @@ def fs_write_bytes(path: str, data: bytes) -> None:
 
 
 def fs_write_bytes_atomic(path: str, data: bytes) -> None:
-    """Crash-safe small-file write: stage to ``path.tmp`` then rename into
-    place, so a reader never sees a torn file (a mid-write crash on the
-    direct path leaves e.g. a broken meta.json that fails every subsequent
-    load/search/compact). On filesystems without rename (some object
-    stores) the move raises and we fall back to the direct overwrite —
-    object-store PUTs are already atomic per-key, so the fallback does not
-    reintroduce the torn-file window there."""
+    """Crash-safe small-file write: stage to a uniquely-named temp file then
+    rename into place, so a reader never sees a torn file (a mid-write crash
+    on the direct path leaves e.g. a broken meta.json that fails every
+    subsequent load/search/compact). The temp name is uuid-suffixed so two
+    concurrent writers (a build retry racing a compact) cannot publish each
+    other's half-written bytes through a shared staging name. On rename-less
+    object stores the move raises NotImplementedError and we fall back to
+    the direct overwrite — object-store PUTs are already atomic per-key, so
+    the fallback does not reintroduce the torn-file window there. A LOCAL
+    rename failure (EACCES, EXDEV, ...) re-raises instead: falling back
+    would silently reintroduce the exact window this function closes."""
+    import uuid
+
+    from pyarrow import fs as pafs
+
     fs, p = fs_for(path)
-    tmp = p + ".tmp"
+    tmp = f"{p}.tmp.{uuid.uuid4().hex}"
     with fs.open_output_stream(tmp) as f:
         f.write(data)
     try:
         fs.move(tmp, p)
-    except (OSError, NotImplementedError):
-        with fs.open_output_stream(p) as f:
-            f.write(data)
-        try:
-            fs.delete_file(tmp)
-        except (OSError, FileNotFoundError):
-            pass
+        return
+    except NotImplementedError:
+        pass
+    except OSError:
+        if isinstance(fs, pafs.LocalFileSystem):
+            try:
+                fs.delete_file(tmp)
+            except (OSError, FileNotFoundError):
+                pass
+            raise
+    with fs.open_output_stream(p) as f:
+        f.write(data)
+    try:
+        fs.delete_file(tmp)
+    except (OSError, FileNotFoundError):
+        pass
 
 
 def fs_exists(path: str) -> bool:
@@ -215,10 +232,14 @@ def write_swap_journal(index_dir: str, tag: str, lives: list[str]) -> None:
     non-atomic rename pair is auto-recoverable: the journal names the live
     dirs being swapped and the retired tag, and ``recover_swap`` (run on
     every IndexMeta.load) replays the repair instead of leaving the index
-    with no live postings dir until a human renames retired_* back."""
+    with no live postings dir until a human renames retired_* back. The
+    timestamp lets recover_swap distinguish a crashed swap (stale journal)
+    from one in flight (fresh journal) without a lock service."""
+    import time
+
     fs_write_bytes_atomic(
         index_dir.rstrip("/") + "/" + _SWAP_JOURNAL,
-        json.dumps({"tag": tag, "lives": lives}).encode(),
+        json.dumps({"tag": tag, "lives": lives, "ts": time.time()}).encode(),
     )
 
 
@@ -226,10 +247,10 @@ def clear_swap_journal(index_dir: str) -> None:
     fs_delete_file(index_dir.rstrip("/") + "/" + _SWAP_JOURNAL)
 
 
-def recover_swap(index_dir: str) -> bool:
-    """If a swap journal exists, repair each journaled live dir and remove
-    the journal. Per dir (states are unambiguous because fs_swap_dir only
-    creates retired_* by moving the live dir away):
+def recover_swap(index_dir: str, grace_sec: float = 300.0) -> bool:
+    """If a STALE swap journal exists, repair each journaled live dir and
+    remove the journal. Per dir (states are unambiguous because fs_swap_dir
+    only creates retired_* by moving the live dir away):
 
       * retired exists, live missing  -> crashed between the two renames:
         move retired back (it holds the complete old contents).
@@ -238,11 +259,22 @@ def recover_swap(index_dir: str) -> bool:
       * no retired                    -> swap never started (or finished and
         cleaned): nothing to do.
 
-    Returns True when a journal was found (i.e. repair ran)."""
+    Journals younger than ``grace_sec`` are left untouched: a reader that
+    loads while a compact is IN FLIGHT must not move directories out from
+    under it or delete its journal (a live swap completes in seconds; only
+    a crashed one leaves a journal older than the grace window). Within the
+    crash+grace window reads on a half-swapped dir fail transiently — the
+    same documented trade-off as before, now bounded by grace_sec instead
+    of requiring a human rename. Journals without a timestamp (pre-upgrade)
+    are treated as stale. Returns True when repair ran."""
+    import time
+
     jpath = index_dir.rstrip("/") + "/" + _SWAP_JOURNAL
     if not fs_exists(jpath):
         return False
     j = json.loads(fs_read_bytes(jpath))
+    if time.time() - j.get("ts", 0.0) < grace_sec:
+        return False
     for live in j["lives"]:
         retired = f"{live}_retired_{j['tag']}"
         if fs_exists(retired):

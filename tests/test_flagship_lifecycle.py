@@ -363,12 +363,30 @@ def test_swap_journal_crash_recovery(spark, tmp_path):
     # simulate the mid-swap crash state: journal written, postings retired,
     # staged dir still present under its compacted name
     tag = "deadbeef"
+
+    def _backdate_journal(age_sec: float = 3600.0) -> None:
+        # a crashed swap's journal is stale by the time anyone recovers;
+        # recover_swap's grace window exists to protect IN-FLIGHT compacts
+        import json as _json
+        import time as _time
+
+        jp = f"{d}/swap_journal.json"
+        j = _json.loads(open(jp).read())
+        j["ts"] = _time.time() - age_sec
+        mf.fs_write_bytes_atomic(jp, _json.dumps(j).encode())
+
     mf.write_swap_journal(d, tag, [f"{d}/postings", f"{d}/dictionary"])
     shutil.copytree(f"{d}/postings", f"{d}/postings_compacted")
     shutil.move(f"{d}/postings", f"{d}/postings_retired_{tag}")
     assert not os.path.isdir(f"{d}/postings")
 
-    ix.IndexMeta.load(d)  # triggers recover_swap
+    # a FRESH journal (compact possibly in flight) must not be touched
+    ix.IndexMeta.load(d)
+    assert not os.path.isdir(f"{d}/postings")
+    assert os.path.exists(f"{d}/swap_journal.json")
+
+    _backdate_journal()
+    ix.IndexMeta.load(d)  # stale journal -> recover_swap repairs
     assert os.path.isdir(f"{d}/postings")
     assert not os.path.isdir(f"{d}/postings_retired_{tag}")
     assert not os.path.exists(f"{d}/swap_journal.json")
@@ -381,6 +399,7 @@ def test_swap_journal_crash_recovery(spark, tmp_path):
     # completed-swap-but-uncleaned state: live present, retired lingering
     mf.write_swap_journal(d, tag, [f"{d}/dictionary"])
     shutil.copytree(f"{d}/dictionary", f"{d}/dictionary_retired_{tag}")
+    _backdate_journal()
     ix.IndexMeta.load(d)
     assert not os.path.isdir(f"{d}/dictionary_retired_{tag}")
     assert not os.path.exists(f"{d}/swap_journal.json")

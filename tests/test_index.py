@@ -337,3 +337,31 @@ def test_high_partition_build_with_ingest_stage(spark, tmp_path_factory):
     assert _collect_topk(
         bm25_topk_indexed(spark, d, queries_df(spark), k=10, method="wand")
     ) == want
+
+
+def test_bounded_cache_fill_refetches_evicted_keys():
+    """Eviction must widen the fetch set to ALL requested keys — clearing
+    without that left previously-cached keys missing and the caller's
+    cache[key] lookups crashing (round-5 review finding)."""
+    from geometric_aware_retrieval_v2_spark.operators.index import (
+        _bounded_cache_fill,
+    )
+
+    cache = {i: i for i in range(10)}
+    calls: list[list[int]] = []
+
+    def fetch(missing):
+        calls.append(list(missing))
+        cache.update({k: k for k in missing})
+
+    _bounded_cache_fill(cache, [5, 99], fetch, cap=8)
+    assert 5 in cache and 99 in cache  # 5 was evicted, then refetched
+    assert calls == [[5, 99]]
+    # no-op when everything is cached: fetch not called
+    _bounded_cache_fill(cache, [5, 99], fetch, cap=8)
+    assert calls == [[5, 99]]
+
+
+def test_bm25_topk_indexed_rejects_nonpositive_k(spark):
+    with pytest.raises(ValueError, match="k must be >= 1"):
+        bm25_topk_indexed(spark, "/nonexistent", queries_df(spark), k=0)

@@ -217,3 +217,20 @@ def test_ollivier_partition_invariance_on_knn_graph(spark):
     assert len(base) == edges.count()
     # theoretical bounds for hop metric: W1 <= 3 -> kappa in [-2, 1]
     assert all(-2.0 <= v <= 1.0 for v in base.values())
+
+
+def test_alpha_small_rational_contract(spark):
+    """alpha=0.1 snaps to exactly 1/10 (raw Fraction(float) denominators
+    of ~2^55 would overflow the int64 transport scale silently); a float
+    that is not a small rational is rejected."""
+    from geometric_aware_retrieval_v2_spark.operators.curvature import (
+        ollivier_curvature,
+    )
+    from geometric_aware_retrieval_v2_spark.operators.knn import knn_edges
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    edges = knn_edges(emb.limit(30), k=4, metric="cosine", n_blocks=2)
+    rows = ollivier_curvature(edges, alpha=0.1).collect()
+    assert rows and all(-2.0 <= r.kappa <= 1.0 for r in rows)
+    with pytest.raises(ValueError, match="small rational"):
+        ollivier_curvature(edges, alpha=0.12345678901234567).collect()
