@@ -136,17 +136,26 @@ def _lcs_len(a: list[str], b_arr) -> int:
 
 
 def rare_rouge(
-    cases: DataFrame, max_tokens: int | None = None, id_col: str = "case_id"
+    cases: DataFrame,
+    max_tokens: int | None = None,
+    id_col: str = "case_id",
+    use_stemmer: bool = False,
 ) -> DataFrame:
     """(case_id, docs array<string>, reference string) -> (case_id, rouge_l).
 
     The ROUGE-L branch of RARE (/root/reference/geoIR/eval/rare.py:25-29):
     answer = " ".join(docs)[:1000], score = LCS-based F1 against the
     reference = 2*lcs/(|ans|+|ref|). Tokens are lowercase alphanumeric runs
-    (rouge_score's regex contract); the Porter stemmer is an external
-    dependency even in the reference — documented deviation, matching its
-    own no-package fallback spirit. ``max_tokens`` truncates both token
-    sequences (bounds the oracle's DP unroll; None = full).
+    (rouge_score's regex contract). ``use_stemmer=True`` matches the
+    reference call's ``RougeScorer(..., use_stemmer=True)`` (rare.py:32):
+    tokens longer than 3 chars are Porter-stemmed before the LCS, via the
+    original published algorithm (functions/stemmer.py; residual deviation
+    narrowed to NLTK's extension pool, documented there). The stemmer runs
+    inside the same Arrow kernel, deduped per batch vocabulary. The driver
+    gate keeps use_stemmer=False (Porter is not SQL-expressible; the
+    stemmed path is pytest-pinned by the paper's own vectors instead).
+    ``max_tokens`` truncates both token sequences (bounds the oracle's DP
+    unroll; None = full).
 
     Tokenization is JVM codegen; only the O(|a|*|b|/word-width) DP runs in
     the Arrow batch kernel."""
@@ -164,11 +173,18 @@ def rare_rouge(
         import numpy as np
         import pandas as pd
 
+        if use_stemmer:
+            from ..functions.stemmer import stem_tokens
+
         for pdf in batches:
             ids, scores = [], []
             for cid, a, b in zip(pdf[id_col], pdf["atoks"], pdf["rtoks"]):
+                a = list(a)
+                if use_stemmer:
+                    a = stem_tokens(a)
+                    b = stem_tokens(b)
                 b_arr = np.asarray(b, dtype=object)
-                lcs = _lcs_len(list(a), b_arr)
+                lcs = _lcs_len(a, b_arr)
                 denom = len(a) + len(b)
                 scores.append(2.0 * lcs / denom if denom and lcs else 0.0)
                 ids.append(cid)
