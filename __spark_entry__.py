@@ -539,6 +539,29 @@ def q_rare_rouge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rare_rouge(a.join(b, "ref_id").select("case_id", "docs", "reference"), max_tokens=30)
 
 
+
+def q_rare_rouge_stemmed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Porter-stemmed ROUGE-L (the reference's RougeScorer(use_stemmer=True)
+    call, rare.py:32): same cases as rare_rouge, tokens len>3 stemmed by the
+    from-scratch 1980 Porter kernel (functions/stemmer.py). The oracle stems
+    with an INDEPENDENT SQL re-derivation of the algorithm
+    (oracles.porter_stem_chain_sql), so the gate pins two from-scratch
+    Porter implementations bit-equal end-to-end through the LCS F1."""
+    from geometric_aware_retrieval_v2_spark.operators.evalops import rare_rouge
+
+    d = load_table(spark, sf_dir, "documents")
+    a = d.filter(F.col("doc_id") < 100).select(
+        F.col("doc_id").alias("case_id"),
+        F.array("text").alias("docs"),
+        F.pmod(F.col("doc_id") + 7, F.lit(500)).alias("ref_id"),
+    )
+    b = d.select(F.col("doc_id").alias("ref_id"), F.col("text").alias("reference"))
+    return rare_rouge(
+        a.join(b, "ref_id").select("case_id", "docs", "reference"),
+        max_tokens=30,
+        use_stemmer=True,
+    )
+
 def _judge_cases(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     extra = (
@@ -771,6 +794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ndcg_recall": q_ndcg_recall,
         "rare": q_rare,
         "rare_rouge": q_rare_rouge,
+        "rare_rouge_stemmed": q_rare_rouge_stemmed,
         "mock_judge": q_mock_judge,
         "judge_policies": q_judge_policies,
         "sud": q_sud,
@@ -836,6 +860,7 @@ def oracle_sql() -> dict[str, str]:
         "ndcg_recall": oracles.ndcg_recall_sql(k=10),
         "rare": oracles.rare_sql(),
         "rare_rouge": oracles.rare_rouge_sql(max_tokens=30),
+        "rare_rouge_stemmed": oracles.rare_rouge_sql(max_tokens=30, use_stemmer=True),
         "mock_judge": oracles.mock_judge_sql(),
         "judge_policies": oracles.judge_policies_sql(),
         "sud": oracles.sud_sql(),

@@ -151,9 +151,10 @@ def rare_rouge(
     tokens longer than 3 chars are Porter-stemmed before the LCS, via the
     original published algorithm (functions/stemmer.py; residual deviation
     narrowed to NLTK's extension pool, documented there). The stemmer runs
-    inside the same Arrow kernel, deduped per batch vocabulary. The driver
-    gate keeps use_stemmer=False (Porter is not SQL-expressible; the
-    stemmed path is pytest-pinned by the paper's own vectors instead).
+    inside the same Arrow kernel, deduped per batch vocabulary. Both modes
+    are driver-gated: the stemmed gate's oracle re-derives Porter
+    INDEPENDENTLY in SQL (oracles.porter_stem_chain_sql), so the two
+    from-scratch implementations are pinned bit-equal end-to-end.
     ``max_tokens`` truncates both token sequences (bounds the oracle's DP
     unroll; None = full).
 

@@ -1455,12 +1455,179 @@ def rare_sql() -> str:
     """
 
 
-def rare_rouge_sql(max_tokens: int = 30, n_cases: int = 100) -> str:
+# ---------------------------------------------------------------- Porter/SQL
+# An INDEPENDENT re-derivation of the original 1980 Porter algorithm in
+# DuckDB SQL (CASE/regexp CTE chain over the distinct token vocabulary),
+# used by the rare_rouge_stemmed gate so the Python kernel
+# (functions/stemmer.py) is verified against a second from-scratch
+# implementation, not just the paper's printed vectors. The consonant/
+# vowel pattern trick: mark aeiou as v, then one GLOBAL left-to-right
+# regexp pass ([^v])y -> \1v reproduces the paper's sequential
+# "y is a vowel iff preceded by a consonant" rule exactly (matches are
+# non-overlapping consecutive pairs, i.e. the alternation itself), then
+# every remaining char is a consonant. m = #(vc substrings in pattern).
+
+
+def _p_pat(e: str) -> str:
+    """Marks MUST be outside the token alphabet ([a-z0-9]): lowercase v/c
+    would collide with the letters v/c and corrupt the ([^V])y pass."""
+    return (
+        "regexp_replace(regexp_replace(regexp_replace("
+        + e
+        + ", '[aeiou]', 'V', 'g'), '([^V])y', '\\1V', 'g'), '[^V]', 'C', 'g')"
+    )
+
+
+def _p_m(e: str) -> str:
+    p = _p_pat(e)
+    return f"((length({p}) - length(replace({p}, 'VC', ''))) // 2)"
+
+
+def _p_hasv(e: str) -> str:
+    return f"({_p_pat(e)} LIKE '%V%')"
+
+
+def _p_dd(e: str) -> str:
+    """*d: ends in a double consonant."""
+    return (
+        f"(length({e}) >= 2 AND substr({e}, length({e}) - 1, 1) = "
+        f"substr({e}, length({e}), 1) AND {_p_pat(e)} LIKE '%C')"
+    )
+
+
+def _p_cvc(e: str) -> str:
+    """*o: ends cvc where the final consonant is not w, x or y."""
+    return (
+        f"(length({e}) >= 3 AND {_p_pat(e)} LIKE '%CVC' AND "
+        f"substr({e}, length({e}), 1) NOT IN ('w', 'x', 'y'))"
+    )
+
+
+def _p_drop(e: str, n: int) -> str:
+    return f"substr({e}, 1, length({e}) - {n})"
+
+
+_P_STEP2 = [
+    ("ational", "ate"), ("tional", "tion"), ("enci", "ence"), ("anci", "ance"),
+    ("izer", "ize"), ("abli", "able"), ("alli", "al"), ("entli", "ent"),
+    ("eli", "e"), ("ousli", "ous"), ("ization", "ize"), ("ation", "ate"),
+    ("ator", "ate"), ("alism", "al"), ("iveness", "ive"), ("fulness", "ful"),
+    ("ousness", "ous"), ("aliti", "al"), ("iviti", "ive"), ("biliti", "ble"),
+]
+_P_STEP3 = [
+    ("icate", "ic"), ("ative", ""), ("alize", "al"), ("iciti", "ic"),
+    ("ical", "ic"), ("ful", ""), ("ness", ""),
+]
+_P_STEP4 = [
+    "al", "ance", "ence", "er", "ic", "able", "ible", "ant", "ement",
+    "ment", "ent", "ion", "ou", "ism", "ate", "iti", "ous", "ive", "ize",
+]
+
+
+def _p_replace_case(rules: list[tuple[str, str]], cond: str) -> str:
+    """Longest-match-first CASE: suffixes ordered by length descending, and
+    a failed measure condition leaves the word UNCHANGED (the paper's
+    no-fallthrough rule), hence the inner CASE per suffix."""
+    whens = []
+    for suf, rep in sorted(rules, key=lambda r: -len(r[0])):
+        stem = _p_drop("w", len(suf))
+        whens.append(
+            f"WHEN w LIKE '%{suf}' THEN (CASE WHEN {cond.format(stem=stem)} "
+            f"THEN {stem} || '{rep}' ELSE w END)"
+        )
+    return "CASE " + " ".join(whens) + " ELSE w END"
+
+
+def porter_stem_chain_sql(vocab: str) -> str:
+    """CTE chain stemming `vocab(tok)` (tokens already lowercase) to
+    pstem(tok, stem), one column transformation per paper step. Callers gate
+    which tokens enter `vocab` (rouge_score stems only len > 3; that gate
+    also subsumes the paper's leave-length-<=-2-alone rule)."""
+    d1, d2, d3 = _p_drop("w", 1), _p_drop("w", 2), _p_drop("w", 3)
+    step4_whens = []
+    for suf in sorted(_P_STEP4, key=len, reverse=True):
+        stem = _p_drop("w", len(suf))
+        cond = f"{_p_m(stem)} > 1"
+        if suf == "ion":
+            cond += f" AND ({stem} LIKE '%s' OR {stem} LIKE '%t')"
+        step4_whens.append(
+            f"WHEN w LIKE '%{suf}' THEN (CASE WHEN {cond} THEN {stem} ELSE w END)"
+        )
+    return f"""
+    p1a AS MATERIALIZED (
+      SELECT tok, CASE WHEN tok LIKE '%sses' THEN substr(tok, 1, length(tok) - 2)
+                       WHEN tok LIKE '%ies' THEN substr(tok, 1, length(tok) - 2)
+                       WHEN tok LIKE '%ss' THEN tok
+                       WHEN tok LIKE '%s' THEN substr(tok, 1, length(tok) - 1)
+                       ELSE tok END AS w
+      FROM {vocab}
+    ),
+    p1b0 AS MATERIALIZED (
+      SELECT tok,
+        CASE WHEN w LIKE '%eed' THEN (CASE WHEN {_p_m(d3)} > 0 THEN {d1} ELSE w END)
+             WHEN w LIKE '%ed' AND {_p_hasv(d2)} THEN {d2}
+             WHEN w LIKE '%ing' AND {_p_hasv(d3)} THEN {d3}
+             ELSE w END AS w,
+        CASE WHEN w LIKE '%eed' THEN false
+             WHEN w LIKE '%ed' AND {_p_hasv(d2)} THEN true
+             WHEN w LIKE '%ing' AND {_p_hasv(d3)} THEN true
+             ELSE false END AS fired
+      FROM p1a
+    ),
+    p1b AS MATERIALIZED (
+      SELECT tok,
+        CASE WHEN NOT fired THEN w
+             WHEN w LIKE '%at' OR w LIKE '%bl' OR w LIKE '%iz' THEN w || 'e'
+             WHEN {_p_dd("w")} AND substr(w, length(w), 1) NOT IN ('l', 's', 'z')
+               THEN {d1}
+             WHEN {_p_m("w")} = 1 AND {_p_cvc("w")} THEN w || 'e'
+             ELSE w END AS w
+      FROM p1b0
+    ),
+    p1c AS MATERIALIZED (
+      SELECT tok, CASE WHEN w LIKE '%y' AND {_p_hasv(d1)} THEN {d1} || 'i'
+                       ELSE w END AS w
+      FROM p1b
+    ),
+    p2 AS MATERIALIZED (
+      SELECT tok, {_p_replace_case(_P_STEP2, "{stem} <> '' AND " + _p_m("{stem}") + " > 0")} AS w
+      FROM p1c
+    ),
+    p3 AS MATERIALIZED (
+      SELECT tok, {_p_replace_case(_P_STEP3, "{stem} <> '' AND " + _p_m("{stem}") + " > 0")} AS w
+      FROM p2
+    ),
+    p4 AS MATERIALIZED (
+      SELECT tok, CASE {" ".join(step4_whens)} ELSE w END AS w
+      FROM p3
+    ),
+    p5a AS MATERIALIZED (
+      SELECT tok,
+        CASE WHEN w LIKE '%e' THEN (
+          CASE WHEN {_p_m(d1)} > 1 OR ({_p_m(d1)} = 1 AND NOT {_p_cvc(d1)})
+               THEN {d1} ELSE w END)
+        ELSE w END AS w
+      FROM p4
+    ),
+    pstem AS MATERIALIZED (
+      SELECT tok,
+        CASE WHEN {_p_m("w")} > 1 AND {_p_dd("w")} AND w LIKE '%l'
+             THEN {_p_drop("w", 1)} ELSE w END AS stem
+      FROM p5a
+    )"""
+
+
+def rare_rouge_sql(
+    max_tokens: int = 30, n_cases: int = 100, use_stemmer: bool = False
+) -> str:
     """ROUGE-L F1 oracle: the LCS DP is UNROLLED, one materialized CTE per
     answer token (r0..r{max_tokens}), each applying the engine kernel's exact
     row recurrence c_i[j] = max(c_{i-1}[j], max_{j'<=j, b[j']=a[i]}
     (c_{i-1}[j'-1]+1)) as a join-aggregate. F1 = 2*lcs/(|a|+|b|) — exact
-    integer arithmetic, so the 6dp rounding is bit-identical by construction."""
+    integer arithmetic, so the 6dp rounding is bit-identical by construction.
+    ``use_stemmer=True`` routes both token streams through the independent
+    SQL Porter chain (porter_stem_chain_sql; rouge_score's len>3 gate) before
+    the DP — string-exact stems, so parity stays bit-level."""
     steps = []
     for i in range(1, max_tokens + 1):
         steps.append(
@@ -1478,6 +1645,35 @@ def rare_rouge_sql(max_tokens: int = 30, n_cases: int = 100) -> str:
     )"""
         )
     chain = ",\n    ".join(steps)
+    if use_stemmer:
+        # raw token streams feed the vocabulary; the DP reads the stemmed
+        # streams. len(atoks)/len(rtoks) in the F1 denominator are
+        # stemming-invariant (1:1), so `t` is untouched.
+        stem_ctes = f"""atok0 AS MATERIALIZED (
+      SELECT case_id, unnest(generate_series(1, len(atoks))) AS i, unnest(atoks) AS tok FROM t
+    ),
+    btok0 AS MATERIALIZED (
+      SELECT case_id, unnest(generate_series(1, len(rtoks))) AS j, unnest(rtoks) AS tok FROM t
+    ),
+    pvocab AS MATERIALIZED (
+      SELECT DISTINCT tok FROM (SELECT tok FROM atok0 UNION ALL SELECT tok FROM btok0)
+      WHERE length(tok) > 3
+    ),{porter_stem_chain_sql("pvocab")},
+    atok AS MATERIALIZED (
+      SELECT a.case_id, a.i, coalesce(s.stem, a.tok) AS tok
+      FROM atok0 a LEFT JOIN pstem s ON s.tok = a.tok
+    ),
+    btok AS MATERIALIZED (
+      SELECT b.case_id, b.j, coalesce(s.stem, b.tok) AS tok
+      FROM btok0 b LEFT JOIN pstem s ON s.tok = b.tok
+    )"""
+    else:
+        stem_ctes = """atok AS MATERIALIZED (
+      SELECT case_id, unnest(generate_series(1, len(atoks))) AS i, unnest(atoks) AS tok FROM t
+    ),
+    btok AS MATERIALIZED (
+      SELECT case_id, unnest(generate_series(1, len(rtoks))) AS j, unnest(rtoks) AS tok FROM t
+    )"""
     return f"""
     WITH cases AS (
       SELECT a.doc_id AS case_id,
@@ -1492,12 +1688,7 @@ def rare_rouge_sql(max_tokens: int = 30, n_cases: int = 100) -> str:
              list_filter(string_split_regex(lower(reference), '[^a-z0-9]+'), x -> x <> '')[1:{max_tokens}] AS rtoks
       FROM cases
     ),
-    atok AS MATERIALIZED (
-      SELECT case_id, unnest(generate_series(1, len(atoks))) AS i, unnest(atoks) AS tok FROM t
-    ),
-    btok AS MATERIALIZED (
-      SELECT case_id, unnest(generate_series(1, len(rtoks))) AS j, unnest(rtoks) AS tok FROM t
-    ),
+    {stem_ctes},
     r0 AS MATERIALIZED (
       SELECT case_id, 0 AS j, 0 AS c FROM t
       UNION ALL

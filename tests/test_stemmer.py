@@ -118,6 +118,47 @@ def test_stem_tokens_len_gate_and_memo():
     assert S.stem_tokens(["ties"]) == ["ti"]
 
 
+def test_sql_porter_chain_matches_python():
+    """The driver gate's oracle stems with an INDEPENDENT SQL re-derivation
+    of Porter (oracles.porter_stem_chain_sql). Pin the two implementations
+    string-equal over a seeded suffix-biased fuzz vocabulary (every rule
+    suffix x random stems, incl. digits and the letters v/c/y that collide
+    with naive cv-pattern encodings) plus the paper vectors."""
+    import random
+    import string
+
+    import duckdb
+
+    from geometric_aware_retrieval_v2_spark.oracles import porter_stem_chain_sql
+
+    random.seed(20260819)
+    sufs = [s for vecs in STEP_VECTORS.values() for s, _ in vecs] + [
+        "sses", "ies", "ss", "s", "eed", "ed", "ing", "y", "ational",
+        "ization", "fulness", "biliti", "icate", "ative", "alize", "iciti",
+        "ical", "ful", "ness", "ement", "ment", "ent", "ion", "ance",
+        "ence", "able", "ible", "ate", "iti", "ous", "ive", "ize", "e",
+        "ll", "l", "",
+    ]
+    alpha = string.ascii_lowercase + "y0"
+    words = {w for w, _ in FULL_VECTORS}
+    for _ in range(8000):
+        stem = "".join(random.choice(alpha) for _ in range(random.randint(1, 8)))
+        words.add(stem + random.choice(sufs))
+    words = sorted(w for w in words if len(w) > 3)
+
+    vals = ", ".join(f"('{w}')" for w in words)
+    sql = f"""
+    WITH vocab(tok) AS MATERIALIZED (SELECT * FROM (VALUES {vals})),
+    {porter_stem_chain_sql("vocab")[1:]}
+    SELECT tok, stem FROM pstem
+    """
+    con = duckdb.connect()
+    rows = con.sql(sql).fetchall()
+    assert len(rows) == len(words)
+    bad = [(t, s, S.porter_stem(t)) for t, s in rows if S.porter_stem(t) != s]
+    assert bad == [], bad[:10]
+
+
 def test_rare_rouge_stemmed_operator(spark):
     # Unstemmed: zero token overlap. Stemmed: "running"->"run",
     # "jumped"->"jump" align with the reference tokens.
