@@ -511,9 +511,12 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------------------- eval metrics
 
-def q_rare(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from geometric_aware_retrieval_v2_spark.operators.evalops import rare_overlap
-
+def _rare_cases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared (case_id, docs, reference) construction for the three RARE
+    gates — the oracles all pin the same cases CTE
+    (``ON b.doc_id = (a.doc_id + 7) % 500``), so the case shape must be
+    edited in exactly one place or an engine/oracle drift splits the
+    gates silently."""
     d = load_table(spark, sf_dir, "documents")
     a = d.filter(F.col("doc_id") < 100).select(
         F.col("doc_id").alias("case_id"),
@@ -521,7 +524,13 @@ def q_rare(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.pmod(F.col("doc_id") + 7, F.lit(500)).alias("ref_id"),
     )
     b = d.select(F.col("doc_id").alias("ref_id"), F.col("text").alias("reference"))
-    return rare_overlap(a.join(b, "ref_id").select("case_id", "docs", "reference"))
+    return a.join(b, "ref_id").select("case_id", "docs", "reference")
+
+
+def q_rare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geometric_aware_retrieval_v2_spark.operators.evalops import rare_overlap
+
+    return rare_overlap(_rare_cases(spark, sf_dir))
 
 
 def q_rare_rouge(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -529,15 +538,7 @@ def q_rare_rouge(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle's unrolled DP stays bounded."""
     from geometric_aware_retrieval_v2_spark.operators.evalops import rare_rouge
 
-    d = load_table(spark, sf_dir, "documents")
-    a = d.filter(F.col("doc_id") < 100).select(
-        F.col("doc_id").alias("case_id"),
-        F.array("text").alias("docs"),
-        F.pmod(F.col("doc_id") + 7, F.lit(500)).alias("ref_id"),
-    )
-    b = d.select(F.col("doc_id").alias("ref_id"), F.col("text").alias("reference"))
-    return rare_rouge(a.join(b, "ref_id").select("case_id", "docs", "reference"), max_tokens=30)
-
+    return rare_rouge(_rare_cases(spark, sf_dir), max_tokens=30)
 
 
 def q_rare_rouge_stemmed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -549,18 +550,7 @@ def q_rare_rouge_stemmed(spark: SparkSession, sf_dir: str) -> DataFrame:
     Porter implementations bit-equal end-to-end through the LCS F1."""
     from geometric_aware_retrieval_v2_spark.operators.evalops import rare_rouge
 
-    d = load_table(spark, sf_dir, "documents")
-    a = d.filter(F.col("doc_id") < 100).select(
-        F.col("doc_id").alias("case_id"),
-        F.array("text").alias("docs"),
-        F.pmod(F.col("doc_id") + 7, F.lit(500)).alias("ref_id"),
-    )
-    b = d.select(F.col("doc_id").alias("ref_id"), F.col("text").alias("reference"))
-    return rare_rouge(
-        a.join(b, "ref_id").select("case_id", "docs", "reference"),
-        max_tokens=30,
-        use_stemmer=True,
-    )
+    return rare_rouge(_rare_cases(spark, sf_dir), max_tokens=30, use_stemmer=True)
 
 def _judge_cases(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)

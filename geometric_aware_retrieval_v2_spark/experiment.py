@@ -20,16 +20,17 @@ from __future__ import annotations
 import warnings
 from typing import Any
 
-from .config import validate_geo_params
+from .plans.trainer import TrainerConfig
 
 
 def _validate_trainer(trainer: dict[str, Any]) -> None:
-    """Reference TrainerConfig validators (geoIR/core/config.py:35-56)."""
-    validate_geo_params(
-        trainer["k_graph"], trainer["lambda_ricci"], trainer["lambda_forman"]
-    )
-    if trainer["ricci_backend"] not in {"ricci_ollivier", "forman", "auto"}:
-        raise ValueError(f"Invalid ricci_backend: {trainer['ricci_backend']}")
+    """Reference TrainerConfig validators (geoIR/core/config.py:35-67).
+
+    Validates by constructing the engine's TrainerConfig — the single
+    implementation of the reference's validator set (k_graph/lambdas/
+    backend AND the lr positivity + >0.1 warning, config.py:60-67) — so
+    this entry point cannot drift from plans.trainer."""
+    TrainerConfig(**trainer)
 
 
 def quick_experiment(

@@ -95,6 +95,39 @@ def fs_write_bytes(path: str, data: bytes) -> None:
         f.write(data)
 
 
+_TMP_SWEEP_GRACE_SEC = 300.0
+
+
+def _sweep_stale_tmp(fs, p: str) -> None:
+    """Best-effort delete of orphaned ``<name>.tmp.<uuid>`` siblings left by
+    writers that crashed between staging and rename — without a sweep each
+    crash leaks one uniquely-named file forever, and crash-loop retries are
+    exactly this function's workload. Only siblings older than the grace
+    window are removed so a CONCURRENT writer's in-flight staging file (the
+    uuid suffix exists for that race) is never deleted; any error means the
+    sweep is skipped, never that the write fails."""
+    import datetime
+    import posixpath
+
+    from pyarrow import fs as pafs
+
+    try:
+        parent = posixpath.dirname(p)
+        prefix = posixpath.basename(p) + ".tmp."
+        cutoff = datetime.datetime.now(datetime.timezone.utc) - \
+            datetime.timedelta(seconds=_TMP_SWEEP_GRACE_SEC)
+        for info in fs.get_file_info(pafs.FileSelector(parent)):
+            if (
+                info.type == pafs.FileType.File
+                and info.base_name.startswith(prefix)
+                and info.mtime is not None
+                and info.mtime < cutoff
+            ):
+                fs.delete_file(info.path)
+    except Exception:
+        pass
+
+
 def fs_write_bytes_atomic(path: str, data: bytes) -> None:
     """Crash-safe small-file write: stage to a uniquely-named temp file then
     rename into place, so a reader never sees a torn file (a mid-write crash
@@ -112,6 +145,7 @@ def fs_write_bytes_atomic(path: str, data: bytes) -> None:
     from pyarrow import fs as pafs
 
     fs, p = fs_for(path)
+    _sweep_stale_tmp(fs, p)
     tmp = f"{p}.tmp.{uuid.uuid4().hex}"
     with fs.open_output_stream(tmp) as f:
         f.write(data)
@@ -273,7 +307,14 @@ def recover_swap(index_dir: str, grace_sec: float = 300.0) -> bool:
     if not fs_exists(jpath):
         return False
     j = json.loads(fs_read_bytes(jpath))
-    if time.time() - j.get("ts", 0.0) < grace_sec:
+    # Clock-skew clamp: the journal ts comes from the COMPACT writer's
+    # clock, this check runs on the reader's. A writer clock N seconds
+    # ahead (or an NTP step-back here) would make elapsed negative and
+    # keep a crashed swap "fresh" for N + grace_sec — an unbounded outage
+    # on the shared filesystems this path serves. A future-dated journal
+    # cannot belong to an in-flight local compact, so treat it as stale.
+    elapsed = time.time() - j.get("ts", 0.0)
+    if 0.0 <= elapsed < grace_sec:
         return False
     for live in j["lives"]:
         retired = f"{live}_retired_{j['tag']}"
