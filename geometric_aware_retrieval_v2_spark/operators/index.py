@@ -48,7 +48,7 @@ from pyspark.sql import functions as F
 from geometric_aware_retrieval_v2_spark import localrel
 from geometric_aware_retrieval_v2_spark.functions.tokenizer import (
     _terms_col,
-    tokenize_terms_arrow,
+    tokenize_docstats_arrow,
 )
 from geometric_aware_retrieval_v2_spark.operators.bm25 import (
     B_DEFAULT,
@@ -93,6 +93,24 @@ class IndexMeta:
         return IndexMeta(
             **json.loads(mf.fs_read_bytes(index_dir.rstrip("/") + "/meta.json"))
         )
+
+
+# the fused tokenize+stats table under index_dir/tf: kind='tf' rows carry
+# (doc_id, term, tf), kind='doc' rows carry (doc_id, doc_len, content_sha256)
+_TF_SCHEMA = (
+    "doc_id long, term string, tf long, doc_len long, content_sha256 string, "
+    "kind string"
+)
+
+
+def _read_tf(spark: SparkSession, path: str) -> DataFrame:
+    """Read (a partition of) the fused tf table with an EXPLICIT schema:
+    a build partition that happens to hold zero documents writes no files
+    under partitionBy(kind), and schema inference over the empty directory
+    would fail where the pinned schema just yields an empty frame. ``kind``
+    in the schema resolves to the discovered partition column when files
+    exist and to an empty data column when none do."""
+    return spark.read.schema(_TF_SCHEMA).option("basePath", path).parquet(path)
 
 
 def _check_vocab(n_terms: int, n_term_ids: int) -> None:
@@ -213,24 +231,23 @@ def build_index(
     def _docstats_job(p: int) -> None:
         t0 = time.monotonic()
         part = docs.filter(F.col("bp") == p).drop("bp")
-        # tokenize ONCE (narrow Arrow pass), store the tf projection; doc_len
-        # falls out of it — content is never re-scanned by a regex again
+        # ONE content pass total (guide §1.2): the fused Arrow kernel emits
+        # tf triples AND per-doc (doc_len, sha256) rows in the same scan,
+        # written partitionBy(kind) so each consumer prunes to its files.
+        # The previous shape scanned content twice (tokenize + sha256) and
+        # re-read the corpus-sized tf table for a doc_len groupBy + join.
         tf_path = f"{index_dir}/tf/part={p}"
-        tokenize_terms_arrow(part, mode=tokenizer_mode).write.mode("overwrite").parquet(tf_path)
-        tf_stored = spark.read.parquet(tf_path)
-        dl = tf_stored.groupBy("doc_id").agg(F.sum("tf").alias("doc_len"))
+        tokenize_docstats_arrow(part, mode=tokenizer_mode).write.partitionBy(
+            "kind"
+        ).mode("overwrite").parquet(tf_path)
         out = f"{index_dir}/docstats/part={p}"
         # the input fingerprint rides the write job as an Observation —
         # no separate post-write aggregation job per partition
         obs = Observation(f"docstats-fp-{p}")
         (
-            part.select("doc_id", F.sha2("content", 256).alias("content_sha256"))
-            .join(dl, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.coalesce("doc_len", F.lit(0)).alias("doc_len"),
-                "content_sha256",
-            )
+            _read_tf(spark, tf_path)
+            .filter(F.col("kind") == "doc")
+            .select("doc_id", "doc_len", "content_sha256")
             .observe(
                 obs,
                 # decimal(38,0) accumulation: overflow-free under ANSI mode
@@ -286,7 +303,14 @@ def build_index(
 
     def _segments_job(p: int) -> None:
         t0 = time.monotonic()
-        tf = spark.read.parquet(f"{index_dir}/tf/part={p}")
+        # term IS NOT NULL selects exactly the tf-kind rows (doc-stat rows
+        # carry a null term) and — unlike a kind filter — stays correct over
+        # a pre-fused flat tf layout left by a resumed older build
+        tf = (
+            _read_tf(spark, f"{index_dir}/tf/part={p}")
+            .filter(F.col("term").isNotNull())
+            .select("doc_id", "term", "tf")
+        )
         # postings are keyed by dense ordinal from here on; shard is a pure
         # function of the ordinal so partial top-k per shard stays exact.
         # docmap join strategy chosen above from the committed doc count:
@@ -299,8 +323,13 @@ def build_index(
                 # postings are keyed by the 8-byte term hash; the string
                 # never enters the pack shuffle/sort/parquet (pack_postings)
                 F.xxhash64("term").alias("term_id"),
-                "tf",
-                "dl",
+                # tf and dl always fit int32 (dl = per-doc token count);
+                # narrowing them halves their share of the pack shuffle
+                # (guide §2.3 "narrower types") — the pack kernel upcasts
+                # to uint64 on arrival, so block bytes are bit-identical
+                # (pinned by test_pack_narrowed_types_identical)
+                F.col("tf").cast("int").alias("tf"),
+                F.col("dl").cast("int").alias("dl"),
                 F.pmod(F.col("ord"), F.lit(n_shards)).cast("int").alias("shard"),
             )
         )
@@ -372,7 +401,11 @@ def build_index(
             # dropped them at segment time), so the collision gate is one
             # distinct-count over tf vs the dictionary's term_id count
             return (
-                spark.read.parquet(f"{index_dir}/tf").select("term").distinct().count()
+                _read_tf(spark, f"{index_dir}/tf")
+                .filter(F.col("term").isNotNull())
+                .select("term")
+                .distinct()
+                .count()
             )
 
         def _corpus_stats():
@@ -479,30 +512,34 @@ def _wand_survival(
     return bound >= theta
 
 
-def _score_group_kernel(
-    pdf: pd.DataFrame,
+def _score_blocks(
+    idf: np.ndarray,
+    mtf: np.ndarray,
+    mdl: np.ndarray,
+    first: np.ndarray,
+    last: np.ndarray,
+    terms: np.ndarray,
+    ns: np.ndarray,
+    get_bytes,
     k: int,
     k1: float,
     b: float,
     avgdl: float,
     use_wand: bool,
 ) -> tuple[np.ndarray, np.ndarray, int, int]:
-    """Score one (qid, shard) group of block rows. -> (doc_ids, scores,
-    n_blocks, n_decoded). Batched NumPy only."""
-    nb = len(pdf)
-    idf = pdf["idf"].to_numpy(dtype=np.float64)
-    mtf = pdf["max_tf"].to_numpy(dtype=np.float64)
-    mdl = pdf["min_dl"].to_numpy(dtype=np.float64)
-    first = pdf["first_doc"].to_numpy(dtype=np.int64)
-    last = pdf["last_doc"].to_numpy(dtype=np.int64)
-    terms = pdf["term_id"].to_numpy(dtype=np.int64)
+    """Score one (qid, shard) group of block rows given as plain NumPy
+    columns plus a ``get_bytes(i) -> bytes`` accessor. -> (doc_ids, scores,
+    n_blocks, n_decoded). Batched NumPy only — shared by the pandas grouped
+    kernel (distributed tail) and the no-shuffle interactive kernel, so the
+    two paths are score-identical by construction."""
+    nb = len(terms)
     ub = idf * (mtf * (k1 + 1.0) / (mtf + k1 * (1.0 - b + b * mdl / avgdl)))
 
     cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
 
     def decode(i: int) -> tuple[np.ndarray, np.ndarray]:
         if i not in cache:
-            d, t, l = decode_block(pdf["bytes"].iat[i], int(pdf["n"].iat[i]))
+            d, t, l = decode_block(get_bytes(i), int(ns[i]))
             tf = t.astype(np.float64)
             dl = l.astype(np.float64)
             s = idf[i] * (tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl)))
@@ -548,6 +585,61 @@ def _score_group_kernel(
     return uniq[sel], acc_r[sel], nb, len(cache)
 
 
+def _score_group_kernel(
+    pdf: pd.DataFrame,
+    k: int,
+    k1: float,
+    b: float,
+    avgdl: float,
+    use_wand: bool,
+) -> tuple[np.ndarray, np.ndarray, int, int]:
+    """pandas adapter over ``_score_blocks`` (the grouped distributed tail)."""
+    byte_col = pdf["bytes"]
+    return _score_blocks(
+        pdf["idf"].to_numpy(dtype=np.float64),
+        pdf["max_tf"].to_numpy(dtype=np.float64),
+        pdf["min_dl"].to_numpy(dtype=np.float64),
+        pdf["first_doc"].to_numpy(dtype=np.int64),
+        pdf["last_doc"].to_numpy(dtype=np.int64),
+        pdf["term_id"].to_numpy(dtype=np.int64),
+        pdf["n"].to_numpy(dtype=np.int64),
+        lambda i: byte_col.iat[i],
+        k=k, k1=k1, b=b, avgdl=avgdl, use_wand=use_wand,
+    )
+
+
+def _shard_partition_salt(
+    spark: SparkSession, n_shards: int, n_parts: int, max_salt: int = 4096
+) -> int:
+    """Find a salt c so that ``repartition(n_parts, (shard + c) AS INT)``
+    spreads the shard values over the most distinct partitions (perfect
+    spread when one exists in budget). HashPartitioning applies the same
+    Murmur3 ``hash()`` SQL exposes, so the bucket of every (c, shard) pair
+    is evaluated driver-side in ONE LocalRelation fold — no job. For large
+    n_shards a perfect spread is combinatorially out of reach and collisions
+    average out anyway, so the search caps at 512 candidate salts."""
+    budget = max_salt if n_shards <= 16 else 512
+    target = min(n_shards, n_parts)
+    best_c, best_n = 0, -1
+    for chunk in range(0, budget, 256):
+        cs = range(chunk, min(chunk + 256, budget))
+        rows = spark.sql(
+            "SELECT col1 AS c, pmod(hash(CAST(col1 + col2 AS INT)), "
+            f"{int(n_parts)}) AS b FROM VALUES "
+            + ",".join(f"({c},{s})" for c in cs for s in range(n_shards))
+        ).collect()
+        buckets: dict[int, set] = {}
+        for r in rows:
+            buckets.setdefault(r.c, set()).add(r.b)
+        for c in cs:
+            n = len(buckets.get(c, ()))
+            if n > best_n:
+                best_c, best_n = c, n
+            if n >= target:
+                return c
+    return best_c
+
+
 class IndexHandle:
     """A loaded index: postings/dictionary/docmap DataFrames + meta.
 
@@ -565,15 +657,39 @@ class IndexHandle:
         self.dictionary = spark.read.parquet(f"{index_dir}/dictionary")
         self.docmap = spark.read.parquet(f"{index_dir}/docmap")
         # driver-side hot caches for the interactive path (a search head
-        # keeps its dictionary in RAM): term_id -> df (0 = not in index) and
-        # ord -> doc_id. Misses are batch-fetched in one pruned-scan job;
-        # warm queries schedule no dictionary or docmap job at all. Same
-        # staleness contract as the DataFrames above: fixed at handle load.
-        self._df_cache: dict[int, int] = {}
+        # keeps its dictionary in RAM): term_id -> (df, idf) with df=0 for
+        # terms absent from the index, and ord -> doc_id. Misses are
+        # batch-fetched in one pruned-scan job; warm queries schedule no
+        # dictionary or docmap job at all. Same staleness contract as the
+        # DataFrames above: fixed at handle load.
+        self._df_cache: dict[int, tuple[int, float]] = {}
         self._doc_cache: dict[int, int] = {}
+        self._shard_view: DataFrame | None = None
+
+    def shard_clustered(self) -> DataFrame:
+        """Postings re-clustered so every partition holds COMPLETE shards —
+        the layout the no-shuffle interactive kernel needs (a partial top-k
+        per (qid, shard) is exact only over all of a shard's blocks). The
+        partition key is salted so Murmur3 spreads the n_shards values over
+        distinct partitions (plain ``repartition(n, "shard")`` collides a
+        handful of values into shared buckets — a straggler doing two
+        shards' work while another task idles). In-partition (shard,
+        term_id) sort makes the cached batch min/max stats prune the
+        per-query term_id IN (...) filter."""
+        if self._shard_view is None:
+            n_shards = self.meta.n_shards
+            salt = _shard_partition_salt(self.spark, n_shards, n_shards)
+            self._shard_view = self.postings.repartition(
+                n_shards, (F.col("shard") + F.lit(salt)).cast("int")
+            ).sortWithinPartitions("shard", "term_id", "first_doc")
+        return self._shard_view
 
     def cache(self) -> "IndexHandle":
-        self.postings = self.postings.cache()
+        # ONE cached copy of the postings, in the shard-clustered layout:
+        # the interactive kernel scans it shuffle-free, and the distributed
+        # tail re-shuffles it by (qid, shard) exactly as it would any layout
+        self.postings = self.shard_clustered().cache()
+        self._shard_view = self.postings
         self.dictionary = self.dictionary.cache()
         self.docmap = self.docmap.cache()
         self.postings.count(), self.dictionary.count(), self.docmap.count()
@@ -731,9 +847,10 @@ def _candidate_blocks(
     """Postings blocks for query terms, tagged with qid + idf.
 
     Returns ``(cand, qids)``: ``cand`` is None when the batch tokenizes to
-    no terms at all (nothing to scan for); ``qids`` is the sorted distinct
-    qid list when the interactive probe fully materialized the batch (the
-    caller can then finish top-k resolution driver-side), else None.
+    no scoreable terms at all (nothing to scan for); ``qids`` is the sorted
+    distinct qid list when the interactive probe fully materialized the
+    batch (the caller can then finish top-k resolution driver-side), else
+    None.
 
     Query text is tokenized with the SAME mode the index was built with
     (IndexMeta.tokenizer_mode): on a code/code2 index the postings hold
@@ -758,22 +875,52 @@ def _candidate_blocks(
     distinct-term count only moves the heuristic boundary (interactive
     batches sit orders of magnitude below it, query logs orders above).
     """
+    trip = _interactive_trip(handle, queries)
+    if trip is _BULK:
+        return _bulk_candidate_blocks(handle, queries), None
+    if not trip:
+        return None, None
+    return _cand_from_trip(handle, trip), sorted({t[0] for t in trip})
+
+
+# sentinel: the batch overflowed the interactive caps (offline query log)
+_BULK = object()
+
+
+def _interactive_trip(handle: IndexHandle, queries: DataFrame):
+    """Driver-side probe of an interactive batch.
+
+    Returns ``[(qid, term_id, df, idf), ...]`` for batches that fit the
+    interactive caps (the empty list means every term is OOV / no terms at
+    all — nothing can score), or the ``_BULK`` sentinel when the batch
+    overflows them (offline query log: take the distributed bulk path).
+
+    Probe tiers (cheapest wins):
+      1. the caller built the frame with localrel.local_queries_df — the
+         raw rows ride an attribute, zero fetch cost;
+      2. untagged frame: bounded take() of the raw (qid, text) rows —
+         executeTake stops as soon as the interactive cap overflows, so
+         a million-row offline log reads only its first partition(s);
+      3. row overflow (> _DRIVER_FINISH_MAX_QIDS): the batch is an
+         offline log — probe the original frame with coalesce(1) so the
+         single merged task consumes its input lazily up to the pair cap.
+    Tiers 1-2 re-render the rows as a parameterized VALUES LocalRelation
+    and tokenize THAT with the same JVM expressions: evaluating the probe
+    over a createDataFrame-backed scan pays a Python-worker round trip
+    per parallelize slice (~4.5 s for one query on local[32], the
+    dominant share of single-query latency); over a LocalRelation the
+    identical plan folds driver-side in ~0.1 s and schedules no job.
+
+    df AND idf come from the handle's hot cache; misses are batch-fetched
+    in ONE pruned dictionary scan whose projection computes idf with the
+    same JVM F.log expression the exhaustive path uses (a driver-side
+    math.log could differ from the JVM's by an ulp and flip a 6dp rounding
+    boundary the gates hash), and terms absent from the index are cached
+    as df=0. Warm batches schedule no dictionary job — and no second
+    Catalyst round-trip to evaluate idf, which used to cost ~40 ms of
+    single-query latency.
+    """
     mode = handle.meta.tokenizer_mode
-    # Interactive probe, three tiers (cheapest wins):
-    #   1. the caller built the frame with localrel.local_queries_df — the
-    #      raw rows ride an attribute, zero fetch cost;
-    #   2. untagged frame: bounded take() of the raw (qid, text) rows —
-    #      executeTake stops as soon as the interactive cap overflows, so
-    #      a million-row offline log reads only its first partition(s);
-    #   3. row overflow (> _DRIVER_FINISH_MAX_QIDS): the batch is an
-    #      offline log — probe the original frame with coalesce(1) so the
-    #      single merged task consumes its input lazily up to the pair cap.
-    # Tiers 1-2 re-render the rows as a parameterized VALUES LocalRelation
-    # and tokenize THAT with the same JVM expressions: evaluating the probe
-    # over a createDataFrame-backed scan pays a Python-worker round trip
-    # per parallelize slice (~4.5 s for one query on local[32], the
-    # dominant share of single-query latency); over a LocalRelation the
-    # identical plan folds driver-side in ~0.1 s and schedules no job.
     local_rows = getattr(queries, localrel.LOCAL_ROWS_ATTR, None)
     if local_rows is None:
         taken = queries.select("qid", "text").take(_DRIVER_FINISH_MAX_QIDS + 1)
@@ -781,9 +928,8 @@ def _candidate_blocks(
             local_rows = [(r.qid, r.text) for r in taken]
     if local_rows is not None:
         if not local_rows:
-            return None, None
-        qsrc = localrel.local_queries_df(handle.spark, local_rows)
-        probe_src = qsrc
+            return []
+        probe_src = localrel.local_queries_df(handle.spark, local_rows)
     else:
         probe_src = queries.coalesce(1)
     pair_rows = (
@@ -794,71 +940,183 @@ def _candidate_blocks(
         .limit(_ISIN_PUSHDOWN_MAX_TERMS + 1)
         .collect()
     )
-    n = float(handle.meta.n_docs)
-    idf = F.log(F.lit(1.0) + (F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5))
     if len(pair_rows) > _ISIN_PUSHDOWN_MAX_TERMS:
-        idf_dict = F.broadcast(
-            handle.dictionary.withColumn("idf", idf).select("term_id", "idf")
-        )
-        qt = query_terms(queries, mode=mode).select(
-            "qid", F.xxhash64("term").alias("term_id")
-        )
-        # large-batch path (huge offline query logs): prune the postings scan
-        # with a SEMI-join on the DISTINCT term_id set only — the full
-        # (qid, term_id) frame can be multi-million rows and hinting it
-        # broadcast would blow Spark's 8 GB broadcast limit / driver memory
-        # on exactly the workloads this path exists for. No size probe and
-        # no hint: a probe would cost a full distinct shuffle plus a
-        # single-task global-limit count per batch just to decide what AQE
-        # already decides from the REAL post-shuffle size at runtime
-        # (broadcast when the distinct set is small, shuffle join when it
-        # is not). The qid attach join is un-hinted for the same reason.
-        pruned = handle.postings.join(
-            qt.select("term_id").distinct(), "term_id", "left_semi"
-        )
-        return pruned.join(qt, "term_id").join(idf_dict, "term_id"), None
+        return _BULK
     pairs = sorted({(r.qid, r.term_id) for r in pair_rows})
     if not pairs:
-        return None, None
-    # df comes from the handle's hot cache; misses are batch-fetched in ONE
-    # pruned dictionary scan and terms absent from the index are cached as
-    # df=0 — warm batches schedule no dictionary job at all, and carrying
-    # (term_id, df) inside the local qt relation removes the per-query
-    # broadcast build of the full idf dictionary. idf itself stays a JVM
-    # expression over qt (same F.log the exhaustive path uses): a driver-side
-    # math.log could differ from the JVM's by an ulp and flip a 6dp rounding
-    # boundary the gates hash.
+        return []
     cache = handle._df_cache
     qterm_list = sorted({t for _, t in pairs})
+    n = float(handle.meta.n_docs)
+    idf = F.log(F.lit(1.0) + (F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5))
 
     def _fetch_dfs(missing: list) -> None:
         for r in (
             handle.dictionary.filter(F.col("term_id").isin(missing))
-            .select("term_id", "df")
+            .select("term_id", "df", idf.alias("idf"))
             .collect()
         ):
-            cache[r.term_id] = r.df
+            cache[r.term_id] = (r.df, r.idf)
         for t in missing:
-            cache.setdefault(t, 0)
+            cache.setdefault(t, (0, 0.0))
 
     _bounded_cache_fill(cache, qterm_list, _fetch_dfs)
-    trip = [(q, t, cache[t]) for q, t in pairs if cache[t] > 0]
-    if not trip:
-        return None, None  # every term OOV: nothing can score
-    present = sorted({t for _, t, _ in trip})
+    return [
+        (q, t, cache[t][0], cache[t][1]) for q, t in pairs if cache[t][0] > 0
+    ]
+
+
+def _bulk_candidate_blocks(handle: IndexHandle, queries: DataFrame) -> DataFrame:
+    """Large-batch path (huge offline query logs): prune the postings scan
+    with a SEMI-join on the DISTINCT term_id set only — the full
+    (qid, term_id) frame can be multi-million rows and hinting it
+    broadcast would blow Spark's 8 GB broadcast limit / driver memory
+    on exactly the workloads this path exists for. No size probe and
+    no hint: a probe would cost a full distinct shuffle plus a
+    single-task global-limit count per batch just to decide what AQE
+    already decides from the REAL post-shuffle size at runtime
+    (broadcast when the distinct set is small, shuffle join when it
+    is not). The qid attach join is un-hinted for the same reason."""
+    n = float(handle.meta.n_docs)
+    idf = F.log(F.lit(1.0) + (F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    idf_dict = F.broadcast(
+        handle.dictionary.withColumn("idf", idf).select("term_id", "idf")
+    )
+    qt = query_terms(queries, mode=handle.meta.tokenizer_mode).select(
+        "qid", F.xxhash64("term").alias("term_id")
+    )
+    pruned = handle.postings.join(
+        qt.select("term_id").distinct(), "term_id", "left_semi"
+    )
+    return pruned.join(qt, "term_id").join(idf_dict, "term_id")
+
+
+def _cand_from_trip(handle: IndexHandle, trip: list[tuple]) -> DataFrame:
+    """Interactive candidate frame for the grouped (distributed-tail) plan:
+    postings pruned by a term_id IN literal (parquet / cached-batch stat
+    skipping) joined to the broadcast local qt relation. idf doubles were
+    already evaluated by the JVM in the dictionary fetch; they ride repr()
+    (shortest-round-trip) through a CAST, bit-exact."""
+    present = sorted({t for _, t, _, _ in trip})
     if len(trip) <= _VALUES_LOCAL_MAX_ROWS:
         qt = _values_local_df(
             handle.spark,
-            ",".join(f"({q}L,{t}L,{d}L)" for q, t, d in trip),
-            "col1 AS qid, col2 AS term_id, col3 AS df",
+            ",".join(
+                f"({q}L,{t}L,CAST('{i!r}' AS DOUBLE))" for q, t, _, i in trip
+            ),
+            "col1 AS qid, col2 AS term_id, col3 AS idf",
         )
     else:
-        qt = handle.spark.createDataFrame(trip, "qid long, term_id long, df long")
-    qt = qt.select("qid", "term_id", idf.alias("idf"))
-    cand = handle.postings.filter(F.col("term_id").isin(present)).join(
+        qt = handle.spark.createDataFrame(
+            [(q, t, i) for q, t, _, i in trip],
+            "qid long, term_id long, idf double",
+        )
+    return handle.postings.filter(F.col("term_id").isin(present)).join(
         F.broadcast(qt), "term_id"
     )
-    return cand, sorted({q for q, _, _ in trip})
+
+
+def _interactive_partials(
+    handle: IndexHandle,
+    trip: list[tuple],
+    keep_n: int,
+    k1: float,
+    b: float,
+    use_wand: bool,
+) -> DataFrame:
+    """No-shuffle per-(qid, shard) WAND partials for interactive batches.
+
+    The grouped plan (scan -> Exchange hashpartitioning(qid, shard) ->
+    applyInPandas) pays a full shuffle stage plus a per-query broadcast
+    join for what is, per query, a few thousand metadata rows — on a warm
+    cached index that shuffle is the dominant share of single-query
+    latency (guide §2.4: remove shuffles outright where the data is
+    already partitioned as needed). Here the postings are scanned in the
+    shard-clustered layout (IndexHandle.shard_clustered: every partition
+    holds complete shards), so one mapInArrow pass computes the exact
+    per-(qid, shard) partials with ZERO exchanges: the query->term->idf
+    mapping rides the task closure (a few hundred bytes — no broadcast
+    build, no join), and rows are regrouped per shard in NumPy. Partial
+    exactness is unchanged — it only ever needed all of a shard's blocks
+    together, which the partition layout now guarantees.
+
+    1 Spark stage per query vs 2 + exchange before; scores are identical
+    by construction (_score_blocks is the same kernel both plans call).
+    """
+    import pyarrow as pa
+
+    by_term: dict[int, list[tuple[int, float]]] = {}
+    for q, t, _, idf_v in trip:
+        by_term.setdefault(t, []).append((q, idf_v))
+    present = sorted(by_term)
+    avgdl = handle.meta.avgdl
+
+    def kernel(batches):
+        tabs = [pa.Table.from_batches([rb]) for rb in batches if rb.num_rows]
+        if not tabs:
+            return
+        tab = pa.concat_tables(tabs)
+        terms = tab.column("term_id").to_numpy()
+        shards = tab.column("shard").to_numpy()
+        first = tab.column("first_doc").to_numpy()
+        last = tab.column("last_doc").to_numpy()
+        ns = tab.column("n").to_numpy().astype(np.int64)
+        mtf = tab.column("max_tf").to_numpy().astype(np.float64)
+        mdl = tab.column("min_dl").to_numpy().astype(np.float64)
+        byte_arr = tab.column("bytes").combine_chunks()
+        out_q, out_o, out_s = [], [], []
+        order = np.argsort(shards, kind="stable")
+        sh_sorted = shards[order]
+        sh_start = np.nonzero(np.r_[True, sh_sorted[1:] != sh_sorted[:-1]])[0]
+        sh_end = np.r_[sh_start[1:], len(sh_sorted)]
+        for s0, e0 in zip(sh_start, sh_end):
+            rows_sh = order[s0:e0]
+            t_sh = terms[rows_sh]
+            t_order = np.argsort(t_sh, kind="stable")
+            t_sorted = t_sh[t_order]
+            t_start = np.nonzero(np.r_[True, t_sorted[1:] != t_sorted[:-1]])[0]
+            t_end = np.r_[t_start[1:], len(t_sorted)]
+            term_rows = {
+                int(t_sorted[i0]): rows_sh[t_order[i0:i1]]
+                for i0, i1 in zip(t_start, t_end)
+            }
+            per_qid: dict[int, tuple[list, list]] = {}
+            for t, rows_t in term_rows.items():
+                for q, idf_v in by_term[t]:
+                    acc = per_qid.setdefault(q, ([], []))
+                    acc[0].append(rows_t)
+                    acc[1].append(np.full(len(rows_t), idf_v))
+            for q, (rlist, ilist) in per_qid.items():
+                rq = np.concatenate(rlist)
+                ords, scores, _, _ = _score_blocks(
+                    np.concatenate(ilist),
+                    mtf[rq], mdl[rq], first[rq], last[rq], terms[rq], ns[rq],
+                    lambda i, rq=rq: byte_arr[int(rq[i])].as_py(),
+                    k=keep_n, k1=k1, b=b, avgdl=avgdl, use_wand=use_wand,
+                )
+                if len(ords):
+                    out_q.append(np.full(len(ords), q, dtype=np.int64))
+                    out_o.append(ords)
+                    out_s.append(scores)
+        if out_q:
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.concatenate(out_q)),
+                    pa.array(np.concatenate(out_o)),
+                    pa.array(np.concatenate(out_s)),
+                ],
+                names=["qid", "ord", "score"],
+            )
+
+    return (
+        handle.shard_clustered()
+        .filter(F.col("term_id").isin(present))
+        .select(
+            "term_id", "shard", "first_doc", "last_doc", "n",
+            "max_tf", "min_dl", "bytes",
+        )
+        .mapInArrow(kernel, schema="qid long, ord long, score double")
+    )
 
 
 def bm25_topk_indexed(
@@ -894,17 +1152,30 @@ def bm25_topk_indexed(
     handle = IndexHandle(spark, index) if isinstance(index, str) else index
     meta = handle.meta
     use_wand = method == "wand"
-    cand, qids = _candidate_blocks(handle, queries)
-    if cand is None:
-        df = _empty_topk_df(spark)
-        df._spark_graft_local_topk = []
-        return df
 
     # per-shard partials keep k + headroom: rounded-score ties across distinct
     # (tf, dl) profiles are ordered by doc_id in the final window, and ordinal
     # order within a shard is (doc_len, doc_id) — the headroom guarantees every
     # possible tie-class member at the k boundary survives the shard cut
     keep_n = k + 32
+
+    trip = _interactive_trip(handle, queries)
+    if trip is not _BULK:
+        if not trip:
+            df = _empty_topk_df(spark)
+            df._spark_graft_local_topk = []
+            return df
+        qids = sorted({t[0] for t in trip})
+        if finish != "distributed" and len(qids) <= _DRIVER_FINISH_MAX_QIDS:
+            # interactive fast path: shuffle-free per-(qid, shard) partials
+            # over the shard-clustered postings + coordinator merge — one
+            # Spark stage end to end (see _interactive_partials)
+            partial = _interactive_partials(handle, trip, keep_n, k1, b, use_wand)
+            return _driver_finish_topk(handle, partial, k)
+        cand = _cand_from_trip(handle, trip)
+    else:
+        cand = _bulk_candidate_blocks(handle, queries)
+        qids = None
 
     def run(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         ords, scores, _, _ = _score_group_kernel(
@@ -915,15 +1186,7 @@ def bm25_topk_indexed(
     partial = cand.groupBy("qid", "shard").applyInPandas(
         run, schema="qid long, ord long, score double"
     )
-    use_driver_finish = (
-        finish == "driver"
-        or (
-            finish == "auto"
-            and qids is not None
-            and len(qids) <= _DRIVER_FINISH_MAX_QIDS
-        )
-    )
-    if use_driver_finish:
+    if finish == "driver":
         return _driver_finish_topk(handle, partial, k)
     resolved = partial.join(handle.docmap, "ord").select("qid", "doc_id", "score")
     ranked = grouped_topk(

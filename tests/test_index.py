@@ -222,6 +222,39 @@ def test_pack_width_bounds_buffer_and_preserves_postings(spark, index_dir):
     )
 
 
+def test_pack_narrowed_types_identical(spark, index_dir):
+    """The segments job narrows tf/dl to int32 before the pack shuffle
+    (guide §2.3): the packed block rows — payload bytes included — must be
+    bit-identical to packing the original int64 columns."""
+    from geometric_aware_retrieval_v2_spark.operators.postings import (
+        pack_postings,
+    )
+
+    tf = unpack_for_test(spark, index_dir)
+    key = lambda r: (
+        r.term_id, r.shard, r.block_id, r.first_doc, r.last_doc,
+        r.n, r.max_tf, r.min_dl, bytes(r.bytes),
+    )
+    wide = pack_postings(tf, n_shards=4, block_size=64, n_tasks=5)
+    narrow = pack_postings(
+        tf.withColumn("tf", F.col("tf").cast("int")).withColumn(
+            "dl", F.col("dl").cast("int")
+        ),
+        n_shards=4, block_size=64, n_tasks=5,
+    )
+    assert sorted(map(key, wide.collect())) == sorted(map(key, narrow.collect()))
+
+
+def unpack_for_test(spark, index_dir):
+    from geometric_aware_retrieval_v2_spark.operators.postings import (
+        unpack_postings,
+    )
+
+    return unpack_postings(spark.read.parquet(f"{index_dir}/segments")).filter(
+        F.pmod(F.col("term_id"), F.lit(7)) == 0
+    )
+
+
 def test_docmap_shuffle_join_equals_broadcast(spark, index_dir, tmp_path):
     """The docmap join strategy is picked from the committed doc count
     (broadcast below docmap_broadcast_max_rows, shuffle join past it — a
