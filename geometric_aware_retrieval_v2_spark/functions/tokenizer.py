@@ -120,91 +120,6 @@ def tokenize_terms_arrow(
     )
 
 
-def tokenize_docstats_arrow(
-    docs: DataFrame, content_col: str = "content", mode: str = "ws"
-) -> DataFrame:
-    """Fused single-pass build kernel: (doc_id, content) -> tf triples PLUS
-    per-doc stats rows, one content scan total.
-
-    Output rows come in two kinds (callers write with ``partitionBy("kind")``
-    so each consumer prunes to its own files):
-      * kind='tf'  — (doc_id, term, tf); doc_len=0, content_sha256=null
-      * kind='doc' — (doc_id, doc_len, content_sha256); term=null, tf=0
-
-    The index build previously scanned the source twice per partition
-    (tokenize pass + sha256 pass) and then re-read the 10^8-row tf table to
-    aggregate doc_len (groupBy + join) — guide §1.2: the doc stats are all
-    computable inside the same Arrow batch that tokenizes, because one doc
-    is one row. doc_len = token count (== sum of tf by construction);
-    sha256 via hashlib is bit-identical to JVM ``sha2(content, 256)`` (both
-    are SHA-256 over the UTF-8 bytes, lowercase hex — pinned by
-    tests/test_index.py::test_content_sha_invariant)."""
-    import hashlib
-    import re
-
-    if mode not in TOKENIZER_MODES:
-        raise ValueError(f"unknown tokenizer mode: {mode}")
-    pat = re.compile(CODE_TOKEN_RE) if mode in ("code", "code2") else None
-    split_idents = mode == "code2"
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            s = pdf[content_col]
-            if pat is None:
-                toks = s.str.split()
-            else:
-                if split_idents:
-                    s2 = (
-                        s.str.replace(CAMEL_BOUNDARY_1, r"\1 \2", regex=True)
-                        .str.replace(CAMEL_BOUNDARY_2, r"\1 \2", regex=True)
-                        .str.replace("_", " ", regex=False)
-                    )
-                else:
-                    s2 = s
-                toks = s2.str.lower().str.findall(pat)
-            lens = toks.str.len().to_numpy()
-            flat = pd.DataFrame(
-                {"doc_id": pdf["doc_id"].repeat(lens).to_numpy(),
-                 "term": [t for lst in toks for t in lst]}
-            )
-            if len(flat):
-                tf_rows = (
-                    flat.groupby(["doc_id", "term"], sort=False)
-                    .size()
-                    .reset_index(name="tf")
-                )
-            else:
-                tf_rows = pd.DataFrame(
-                    {"doc_id": pd.Series(dtype="int64"),
-                     "term": pd.Series(dtype="object"),
-                     "tf": pd.Series(dtype="int64")}
-                )
-            tf_rows["doc_len"] = 0
-            tf_rows["content_sha256"] = None
-            tf_rows["kind"] = "tf"
-            doc_rows = pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"].to_numpy(),
-                    "term": None,
-                    "tf": 0,
-                    "doc_len": lens.astype("int64"),
-                    "content_sha256": [
-                        hashlib.sha256(c.encode("utf-8")).hexdigest() for c in s
-                    ],
-                    "kind": "doc",
-                }
-            )
-            yield pd.concat([tf_rows, doc_rows], ignore_index=True)
-
-    return docs.select("doc_id", content_col).mapInPandas(
-        run,
-        schema=(
-            "doc_id long, term string, tf long, doc_len long, "
-            "content_sha256 string, kind string"
-        ),
-    )
-
-
 def doc_stats(docs: DataFrame, content_col: str = "content", mode: str = "ws") -> DataFrame:
     """Per-doc projection: doc_len (token count) + content_sha256 (the per-row
     pipeline invariant, BASELINE.json). Pure JVM expressions."""

@@ -48,7 +48,7 @@ from pyspark.sql import functions as F
 from geometric_aware_retrieval_v2_spark import localrel
 from geometric_aware_retrieval_v2_spark.functions.tokenizer import (
     _terms_col,
-    tokenize_docstats_arrow,
+    tokenize_terms_arrow,
 )
 from geometric_aware_retrieval_v2_spark.operators.bm25 import (
     B_DEFAULT,
@@ -93,24 +93,6 @@ class IndexMeta:
         return IndexMeta(
             **json.loads(mf.fs_read_bytes(index_dir.rstrip("/") + "/meta.json"))
         )
-
-
-# the fused tokenize+stats table under index_dir/tf: kind='tf' rows carry
-# (doc_id, term, tf), kind='doc' rows carry (doc_id, doc_len, content_sha256)
-_TF_SCHEMA = (
-    "doc_id long, term string, tf long, doc_len long, content_sha256 string, "
-    "kind string"
-)
-
-
-def _read_tf(spark: SparkSession, path: str) -> DataFrame:
-    """Read (a partition of) the fused tf table with an EXPLICIT schema:
-    a build partition that happens to hold zero documents writes no files
-    under partitionBy(kind), and schema inference over the empty directory
-    would fail where the pinned schema just yields an empty frame. ``kind``
-    in the schema resolves to the discovered partition column when files
-    exist and to an empty data column when none do."""
-    return spark.read.schema(_TF_SCHEMA).option("basePath", path).parquet(path)
 
 
 def _check_vocab(n_terms: int, n_term_ids: int) -> None:
@@ -231,23 +213,30 @@ def build_index(
     def _docstats_job(p: int) -> None:
         t0 = time.monotonic()
         part = docs.filter(F.col("bp") == p).drop("bp")
-        # ONE content pass total (guide §1.2): the fused Arrow kernel emits
-        # tf triples AND per-doc (doc_len, sha256) rows in the same scan,
-        # written partitionBy(kind) so each consumer prunes to its files.
-        # The previous shape scanned content twice (tokenize + sha256) and
-        # re-read the corpus-sized tf table for a doc_len groupBy + join.
+        # tokenize ONCE (narrow Arrow pass), store the tf projection; doc_len
+        # falls out of it — content is never re-scanned by a regex again.
+        # (A fused kernel emitting tf rows + per-doc (doc_len, sha256) rows
+        # from one pass was A/B-tested this round and LOST in the warm state
+        # the bench runs in: the extra Python work — hashlib, concat, the
+        # dynamic-partition sort — costs ~2 s/partition more than the two
+        # warm JVM scans it saves. Guide §1.1: empirical loop beat the
+        # first-principles "one pass" plan; see OPTIMIZATION_r06.md.)
         tf_path = f"{index_dir}/tf/part={p}"
-        tokenize_docstats_arrow(part, mode=tokenizer_mode).write.partitionBy(
-            "kind"
-        ).mode("overwrite").parquet(tf_path)
+        tokenize_terms_arrow(part, mode=tokenizer_mode).write.mode("overwrite").parquet(tf_path)
+        tf_stored = spark.read.parquet(tf_path)
+        dl = tf_stored.groupBy("doc_id").agg(F.sum("tf").alias("doc_len"))
         out = f"{index_dir}/docstats/part={p}"
         # the input fingerprint rides the write job as an Observation —
         # no separate post-write aggregation job per partition
         obs = Observation(f"docstats-fp-{p}")
         (
-            _read_tf(spark, tf_path)
-            .filter(F.col("kind") == "doc")
-            .select("doc_id", "doc_len", "content_sha256")
+            part.select("doc_id", F.sha2("content", 256).alias("content_sha256"))
+            .join(dl, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("doc_len", F.lit(0)).alias("doc_len"),
+                "content_sha256",
+            )
             .observe(
                 obs,
                 # decimal(38,0) accumulation: overflow-free under ANSI mode
@@ -303,14 +292,7 @@ def build_index(
 
     def _segments_job(p: int) -> None:
         t0 = time.monotonic()
-        # term IS NOT NULL selects exactly the tf-kind rows (doc-stat rows
-        # carry a null term) and — unlike a kind filter — stays correct over
-        # a pre-fused flat tf layout left by a resumed older build
-        tf = (
-            _read_tf(spark, f"{index_dir}/tf/part={p}")
-            .filter(F.col("term").isNotNull())
-            .select("doc_id", "term", "tf")
-        )
+        tf = spark.read.parquet(f"{index_dir}/tf/part={p}")
         # postings are keyed by dense ordinal from here on; shard is a pure
         # function of the ordinal so partial top-k per shard stays exact.
         # docmap join strategy chosen above from the committed doc count:
@@ -401,11 +383,7 @@ def build_index(
             # dropped them at segment time), so the collision gate is one
             # distinct-count over tf vs the dictionary's term_id count
             return (
-                _read_tf(spark, f"{index_dir}/tf")
-                .filter(F.col("term").isNotNull())
-                .select("term")
-                .distinct()
-                .count()
+                spark.read.parquet(f"{index_dir}/tf").select("term").distinct().count()
             )
 
         def _corpus_stats():

@@ -61,6 +61,28 @@ def cosine_expr(vec_col: str, qvec_col: str = "qvec"):
 # ------------------------------------------------------------- cosine search
 
 
+def _norm_factored_cos(
+    emb: DataFrame, qvecs: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """(doc_id, qid, cos) via the crossJoin, with the doc-side cast and
+    norm PROJECTED BEFORE the join (guide §2.3 "project before the
+    exchange"): per doc they are query-independent, so evaluating them
+    inside the joined frame re-ran the O(d) array chain once per query.
+    The final expression is the same ``dot / (na * nb)`` tree over the
+    same float64 inputs, so every bit of ``cos`` is unchanged."""
+    a = F.col(vec_col).cast("array<double>")
+    na = F.sqrt(_sum_arr(F.transform(a, lambda x: x * x)))
+    e = emb.select(
+        F.col(id_col).alias("doc_id"), a.alias("_a"), na.alias("_na")
+    )
+    b = F.col("qvec").cast("array<double>")
+    nb = F.sqrt(_sum_arr(F.transform(b, lambda x: x * x)))
+    q = qvecs.select("qid", b.alias("_b"), nb.alias("_nb"))
+    dot = _sum_arr(F.zip_with(F.col("_a"), F.col("_b"), lambda x, y: x * y))
+    cos = dot / (F.col("_na") * F.col("_nb"))
+    return e.crossJoin(F.broadcast(q)).select("qid", "doc_id", cos.alias("_cos"))
+
+
 def cosine_topk(
     emb: DataFrame,
     qvecs: DataFrame,
@@ -73,13 +95,14 @@ def cosine_topk(
 
     tie="reference" reproduces np.argsort(sims)[-k:][::-1] — larger docID
     first on equal similarity (index.py:166). JVM-side cosine via
-    ``aggregate(zip_with(...))`` (codegen; no Python). For GEMM-scale scoring
-    use operators/knn.knn_candidates.
+    ``aggregate(zip_with(...))`` (codegen; no Python), doc-side norm
+    factored out of the crossJoin (see _norm_factored_cos). For GEMM-scale
+    scoring use operators/knn.knn_candidates.
     """
-    cos = cosine_expr(vec_col)
-    scored = emb.crossJoin(F.broadcast(qvecs)).select(
+    cos = F.col("_cos")
+    scored = _norm_factored_cos(emb, qvecs, id_col, vec_col).select(
         "qid",
-        F.col(id_col).alias("doc_id"),
+        "doc_id",
         # rank key and output are rounded INDEPENDENTLY from the raw value:
         # round(round(x,9),6) would manufacture exact .5 midpoints at the 6dp
         # boundary where engines round differently (double-rounding hazard)
@@ -112,8 +135,8 @@ def curvature_mix_topk(
         F.col("avg_kappa"), F.lit(0.0)
     )
     scored = (
-        emb.crossJoin(F.broadcast(qvecs))
-        .select("qid", F.col(id_col).alias("doc_id"), cosine_expr(vec_col).alias("cos"))
+        _norm_factored_cos(emb, qvecs, id_col, vec_col)
+        .withColumnRenamed("_cos", "cos")
         .join(F.broadcast(node_curv.withColumnRenamed("node", "doc_id")), "doc_id", "left")
         .select(
             "qid",
