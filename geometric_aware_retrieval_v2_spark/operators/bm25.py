@@ -78,7 +78,13 @@ def bm25_scores(
     term-partition-pruned so only query-term postings are read.
     """
     qterms = query_terms(queries, mode=query_mode)
-    tstats = term_stats(tf)
+    # df is aggregated ONLY over query-term postings (semi-join pushes the
+    # term restriction below the aggregate): the previous full term_stats
+    # both aggregated and BROADCAST the entire vocabulary-sized df table —
+    # unbounded at corpus scale (the docmap-broadcast defect class). df per
+    # surviving term is unchanged, so scores are identical.
+    qterm_set = qterms.select("term").distinct()
+    tstats = term_stats(tf.join(F.broadcast(qterm_set), "term", "left_semi"))
     cstats = corpus_stats(dstats)
 
     matched = (

@@ -93,7 +93,12 @@ def forman_curvature(edges: DataFrame, rounded: bool = True) -> DataFrame:
         F.col("strength").alias("s_v"),
         F.col("rsqrt_sum").alias("r_v"),
     )
-    j = e.join(F.broadcast(su), "src").join(F.broadcast(sv), "dst")
+    # UN-hinted joins: the node-stats table is O(|V|) — a hardwired
+    # broadcast is the docmap-broadcast defect class at graph scale. AQE
+    # still picks a broadcast from the REAL post-shuffle size when the
+    # graph is small; past that it degrades to a shuffle join instead of
+    # an executor OOM.
+    j = e.join(su, "src").join(sv, "dst")
     w = F.col("weight")
     sqrt_w = F.sqrt(w)
     term1 = w * (F.lit(1.0) / F.col("s_u") + F.lit(1.0) / F.col("s_v"))

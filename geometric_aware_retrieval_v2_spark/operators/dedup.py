@@ -266,16 +266,19 @@ def embedding_neardup_pairs(
     """-> (id_a, id_b, cos >= threshold): brute-force pairs (small scale);
     the IVF-bucketed variant (simsearch.assign_ivf) bounds the pair fan-out
     at corpus scale."""
-    from geometric_aware_retrieval_v2_spark.operators.rerank import _sum_arr
+    from geometric_aware_retrieval_v2_spark.operators.simsearch import (
+        _factored_cos,
+        _with_norm,
+    )
 
-    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).cast("array<double>").alias("va"))
-    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).cast("array<double>").alias("vb"))
-    dot = _sum_arr(F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y))
-    na = F.sqrt(_sum_arr(F.transform(F.col("va"), lambda x: x * x)))
-    nb = F.sqrt(_sum_arr(F.transform(F.col("vb"), lambda x: x * x)))
+    # norms factored out of the pair join (each vector is in n-1 pairs;
+    # inline cosine re-ran the O(d) norm chain per pair — guide §2.3)
+    a = _with_norm(emb.withColumnRenamed(id_col, "id_a"), vec_col, "va", "_na", "id_a")
+    b = _with_norm(emb.withColumnRenamed(id_col, "id_b"), vec_col, "vb", "_nb", "id_b")
+    cos = _factored_cos("va", "_na", "vb", "_nb")
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.round(dot / (na * nb), JACCARD_DECIMALS).alias("cos"))
+        .select("id_a", "id_b", F.round(cos, JACCARD_DECIMALS).alias("cos"))
         .filter(F.col("cos") >= threshold)
     )
 
@@ -303,8 +306,9 @@ def embedding_neardup_pairs_ivf(
     nearest cell with probability rising in nprobe — pytest asserts the
     bucketed pairs cover the brute-force pairs on the test corpus;
     ``embedding_neardup_pairs`` stays the small-scale oracle."""
-    from geometric_aware_retrieval_v2_spark.operators.rerank import _sum_arr
     from geometric_aware_retrieval_v2_spark.operators.simsearch import (
+        _factored_cos,
+        _with_norm,
         make_assign,
         make_centroids,
     )
@@ -318,18 +322,13 @@ def embedding_neardup_pairs_ivf(
         .select("id_a", "id_b")
         .distinct()
     )
-    va = emb.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).cast("array<double>").alias("va")
-    )
-    vb = emb.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).cast("array<double>").alias("vb")
-    )
-    dot = _sum_arr(F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y))
-    na = F.sqrt(_sum_arr(F.transform(F.col("va"), lambda x: x * x)))
-    nb = F.sqrt(_sum_arr(F.transform(F.col("vb"), lambda x: x * x)))
+    # norms factored out of the verification joins (see embedding_neardup_pairs)
+    va = _with_norm(emb.withColumnRenamed(id_col, "id_a"), vec_col, "va", "_na", "id_a")
+    vb = _with_norm(emb.withColumnRenamed(id_col, "id_b"), vec_col, "vb", "_nb", "id_b")
+    cos = _factored_cos("va", "_na", "vb", "_nb")
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
-        .select("id_a", "id_b", F.round(dot / (na * nb), JACCARD_DECIMALS).alias("cos"))
+        .select("id_a", "id_b", F.round(cos, JACCARD_DECIMALS).alias("cos"))
         .filter(F.col("cos") >= threshold)
     )

@@ -259,8 +259,13 @@ def build_index(
     if -1 not in mf.completed_partitions(spark, index_dir, "docmap"):
         t0 = time.monotonic()
         dstats = spark.read.parquet(f"{index_dir}/docstats")
-        # docmap carries dl so segment jobs join ONE small table, not two
-        docmap = assign_ordinals(dstats, n_ranges=max(n_partitions, 8)).join(
+        # docmap carries dl so segment jobs join ONE small table, not two;
+        # the exact doc count is free from the docstats manifest commits, so
+        # the ordinal sampler skips its counting job
+        docmap = assign_ordinals(
+            dstats, n_ranges=max(n_partitions, 8),
+            n_rows=mf.stage_rows_total(spark, index_dir, "docstats"),
+        ).join(
             dstats.select("doc_id", F.col("doc_len").alias("dl")), "doc_id"
         )
         docmap.write.mode("overwrite").parquet(f"{index_dir}/docmap")

@@ -38,8 +38,33 @@ DIST_DECIMALS = 9
 WEIGHT_DECIMALS = 6
 
 
+# per-cell byte budget for the packed block matrices: same defect class and
+# same treatment as postings.pack_width / the docmap broadcast cap — a fixed
+# n_blocks packs corpus/n_blocks vectors into ONE Arrow binary cell, which
+# at 10M x d=64 float64 is ~640 MB/cell against Arrow's 2 GiB cell ceiling
+# (each GEMM task then densifies two cells plus their product)
+BLOCK_BYTES_TARGET = 128 * 1024 * 1024
+
+
+def derive_n_blocks(
+    n_rows: int, dim: int, parallelism: int,
+    target_bytes: int = BLOCK_BYTES_TARGET,
+) -> int:
+    """Block count sized from the DATA (VERDICT r5 #1): enough blocks that
+    one block's (n/B, d) float64 matrix stays under ``target_bytes``, with a
+    parallelism floor so small corpora still spread over the cluster. The
+    edge set is invariant to B by construction (per-src top-k within every
+    block pair is a superset of the global top-k; the final window applies
+    the same pinned total order) — pinned by test_knn_edges_block_count_invariant."""
+    by_size = -(-int(n_rows) * int(dim) * 8 // int(target_bytes))
+    return min(max(int(parallelism), by_size, 1), max(int(n_rows), 1))
+
+
 def _pack_blocks(emb: DataFrame, n_blocks: int, id_col: str, vec_col: str) -> DataFrame:
-    tagged = emb.withColumn(
+    # project FIRST: applyInPandas ships every input column through Arrow,
+    # so an un-pruned emb frame would move (and scan) payload columns the
+    # pack never touches (guide §4.1)
+    tagged = emb.select(id_col, vec_col).withColumn(
         "block", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int")
     )
 
@@ -65,13 +90,25 @@ def knn_candidates(
     emb: DataFrame,
     k: int,
     metric: str = "cosine",
-    n_blocks: int = 8,
+    n_blocks: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     normalize: bool = True,
 ) -> DataFrame:
     """Directed candidate edges (src, dst, dist): per-src top-k within each
-    block pair; finalize with the global window in ``knn_edges``."""
+    block pair; finalize with the global window in ``knn_edges``.
+
+    ``n_blocks=None`` (default) derives the block count from the corpus
+    size so per-cell bytes stay bounded at any scale (derive_n_blocks);
+    an explicit value is respected unchanged — the result is invariant
+    either way."""
+    if n_blocks is None:
+        n = emb.count()
+        head = emb.select(vec_col).head(1)
+        d = len(head[0][0]) if head else 1
+        n_blocks = derive_n_blocks(
+            n, d, emb.sparkSession.sparkContext.defaultParallelism
+        )
     blocks = _pack_blocks(emb, n_blocks, id_col, vec_col)
     pairs = (
         blocks.alias("a")
@@ -123,7 +160,7 @@ def knn_edges(
     emb: DataFrame,
     k: int,
     metric: str = "cosine",
-    n_blocks: int = 8,
+    n_blocks: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     normalize: bool = True,
@@ -173,8 +210,9 @@ def knn_edges_ivf(
     n_cells per cell. Output contract and tie-breaks are identical to
     ``knn_edges`` (cosine metric): (src < dst, weight = round(1-cos, 6),
     per-src selection on (round(dist,9) asc, dst asc))."""
-    from geometric_aware_retrieval_v2_spark.operators.rerank import cosine_expr
     from geometric_aware_retrieval_v2_spark.operators.simsearch import (
+        _factored_cos,
+        _with_norm,
         make_assign,
         make_centroids,
     )
@@ -188,13 +226,12 @@ def knn_edges_ivf(
         .select("src", "dst")
         .distinct()
     )
-    va = emb.select(
-        F.col(id_col).alias("src"), F.col(vec_col).cast("array<double>").alias("embedding")
-    )
-    vb = emb.select(
-        F.col(id_col).alias("dst"), F.col(vec_col).cast("array<double>").alias("qvec")
-    )
-    dist = (F.lit(1.0) - cosine_expr("embedding")).alias("dist")
+    # norms factored out of the candidate joins: each vector sits in
+    # ~k*nprobe candidate pairs, and the inline cosine re-ran its O(d)
+    # norm chain once per pair (guide §2.3; bit-identical, see _with_norm)
+    va = _with_norm(emb.withColumnRenamed(id_col, "src"), vec_col, "_a", "_na", "src")
+    vb = _with_norm(emb.withColumnRenamed(id_col, "dst"), vec_col, "_b", "_nb", "dst")
+    dist = (F.lit(1.0) - _factored_cos("_a", "_na", "_b", "_nb")).alias("dist")
     scored = cand.join(va, "src").join(vb, "dst").select("src", "dst", dist)
     directed = grouped_topk(
         scored.withColumn("dist_r", F.round("dist", DIST_DECIMALS)),

@@ -41,12 +41,15 @@ from pyspark.sql import functions as F
 
 
 def _sample_boundaries(
-    kv: DataFrame, n_ranges: int, k1: str, k2: str, per_range: int = 2000
+    kv: DataFrame, n_ranges: int, k1: str, k2: str, per_range: int = 2000,
+    n_rows: int | None = None,
 ) -> list[tuple]:
     """Deterministic (k1, k2) range boundaries: xxhash64-filtered sample
     (pure function of row values, no seed), sorted driver-side, evenly cut.
-    Returns at most n_ranges-1 strictly increasing boundary tuples."""
-    n = kv.count()
+    Returns at most n_ranges-1 strictly increasing boundary tuples.
+    ``n_rows``: exact row count when the caller already knows it (e.g. from
+    manifest commits) — skips one counting job."""
+    n = kv.count() if n_rows is None else int(n_rows)
     if n == 0 or n_ranges <= 1:
         return []
     target = n_ranges * per_range
@@ -80,13 +83,15 @@ def _bucket_expr(bounds: list[tuple], k1: str, k2: str) -> Column:
 
 
 def assign_ordinals(
-    dstats: DataFrame, n_ranges: int = 8, keys: tuple[str, str] = ("doc_len", "doc_id")
+    dstats: DataFrame, n_ranges: int = 8, keys: tuple[str, str] = ("doc_len", "doc_id"),
+    n_rows: int | None = None,
 ) -> DataFrame:
     """(doc_id, doc_len, ...) -> docmap(doc_id, ord) with ord = dense global
-    rank by ``keys`` (unique because doc_id is)."""
+    rank by ``keys`` (unique because doc_id is). ``n_rows``: known exact
+    row count — skips the sampling stage's counting job."""
     k1, k2 = keys
     kv = dstats.select(k1, k2)
-    bounds = _sample_boundaries(kv, n_ranges, k1, k2)
+    bounds = _sample_boundaries(kv, n_ranges, k1, k2, n_rows=n_rows)
     bucketed = kv.withColumn("bkt", _bucket_expr(bounds, k1, k2))
     sizes = {
         r.bkt: r.n

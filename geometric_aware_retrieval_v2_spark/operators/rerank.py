@@ -49,7 +49,12 @@ def _sum_arr(col):
 
 def cosine_expr(vec_col: str, qvec_col: str = "qvec"):
     """Explicit float64 cosine: dot / (||a|| * ||b||) — embeddings are only
-    float32-normalized (~1e-8 off), so raw dot would drift vs true cosine."""
+    float32-normalized (~1e-8 off), so raw dot would drift vs true cosine.
+
+    Inline form; every engine call site now uses the norm-FACTORED twin
+    (simsearch._with_norm + _factored_cos — identical expression tree, norms
+    projected before the join so they are not re-evaluated per matched
+    pair). Kept as the reference formulation and for external callers."""
     a = F.col(vec_col).cast("array<double>")
     b = F.col(qvec_col).cast("array<double>")
     dot = _sum_arr(F.zip_with(a, b, lambda x, y: x * y))
@@ -137,7 +142,9 @@ def curvature_mix_topk(
     scored = (
         _norm_factored_cos(emb, qvecs, id_col, vec_col)
         .withColumnRenamed("_cos", "cos")
-        .join(F.broadcast(node_curv.withColumnRenamed("node", "doc_id")), "doc_id", "left")
+        # un-hinted: node_curv is O(|V|) — AQE broadcasts it only while it
+        # actually fits (the docmap-broadcast defect class otherwise)
+        .join(node_curv.withColumnRenamed("node", "doc_id"), "doc_id", "left")
         .select(
             "qid",
             "doc_id",

@@ -46,9 +46,26 @@ from pyspark.sql import functions as F
 from geometric_aware_retrieval_v2_spark.operators.rerank import (
     RANK_KEY_DECIMALS,
     SCORE_DECIMALS,
-    cosine_expr,
+    _sum_arr,
 )
 from geometric_aware_retrieval_v2_spark.operators.topk import grouped_topk
+
+
+def _with_norm(df: DataFrame, vec_col: str, out_vec: str, out_norm: str,
+               *keep: str) -> DataFrame:
+    """Project (keep..., out_vec=cast(vec), out_norm=||vec||) BEFORE a join:
+    norms are join-independent, so evaluating them inside a joined frame
+    re-runs the O(d) array chain once per matched pair (guide §2.3). The
+    downstream ``dot / (na * nb)`` tree is unchanged, so cosines are
+    bit-identical to the inline form."""
+    v = F.col(vec_col).cast("array<double>")
+    n = F.sqrt(_sum_arr(F.transform(v, lambda x: x * x)))
+    return df.select(*keep, v.alias(out_vec), n.alias(out_norm))
+
+
+def _factored_cos(a_vec: str, a_norm: str, b_vec: str, b_norm: str):
+    dot = _sum_arr(F.zip_with(F.col(a_vec), F.col(b_vec), lambda x, y: x * y))
+    return dot / (F.col(a_norm) * F.col(b_norm))
 
 N_CELLS_CAP = 65536
 
@@ -90,11 +107,14 @@ def assign_ivf(emb: DataFrame, cents: DataFrame, id_col: str = "vec_id",
     lower cell). nprobe=1 is the classic single-cell assignment; nprobe>1 is
     the multi-assignment used for recall-bounded candidate generation (a
     vector is listed in several cells, so near neighbors meet in >=1)."""
-    joined = emb.select(
-        F.col(id_col), F.col(vec_col).alias("embedding")
-    ).crossJoin(F.broadcast(cents.withColumnRenamed("cvec", "qvec")))
-    scored = joined.select(
-        id_col, "cell", F.round(cosine_expr("embedding"), RANK_KEY_DECIMALS).alias("sim")
+    e = _with_norm(emb, vec_col, "_a", "_na", id_col)
+    c = _with_norm(cents, "cvec", "_b", "_nb", "cell")
+    # doc-side norm factored out of the crossJoin: inline it re-ran the
+    # O(d) chain n_cells times per vector (65536x at the capped quantizer)
+    scored = e.crossJoin(F.broadcast(c)).select(
+        id_col, "cell",
+        F.round(_factored_cos("_a", "_na", "_b", "_nb"),
+                RANK_KEY_DECIMALS).alias("sim"),
     )
     best = grouped_topk(
         scored, keys=[id_col], order=[F.col("sim").desc(), F.col("cell").asc()], k=nprobe
@@ -357,13 +377,16 @@ def ivf_topk(
     )
     assign = make_assign(emb, cents, 1, assign_method, id_col, vec_col)
 
-    # which cells does each query probe?
+    # which cells does each query probe? (centroid norms factored: inline
+    # they were re-evaluated once per query per cell)
     qcells = grouped_topk(
-        qvecs.crossJoin(F.broadcast(cents)).select(
+        _with_norm(qvecs, "qvec", "_b", "_nb", "qid")
+        .crossJoin(F.broadcast(_with_norm(cents, "cvec", "_a", "_na", "cell")))
+        .select(
             "qid",
             "cell",
             F.round(
-                cosine_expr("cvec", "qvec"), RANK_KEY_DECIMALS
+                _factored_cos("_a", "_na", "_b", "_nb"), RANK_KEY_DECIMALS
             ).alias("csim"),
         ),
         keys=["qid"],
@@ -371,13 +394,14 @@ def ivf_topk(
         k=nprobe,
     ).select("qid", "cell")
 
-    # score only vectors in probed cells
+    # score only vectors in probed cells; norms factored out of the joins
+    # (a vector met by several probed cells re-scored its norm per pair)
     cand = (
         qcells.join(assign, "cell")
-        .join(emb.select(F.col(id_col), F.col(vec_col).alias("embedding")), id_col)
-        .join(qvecs, "qid")
+        .join(_with_norm(emb, vec_col, "_a", "_na", id_col), id_col)
+        .join(_with_norm(qvecs, "qvec", "_b", "_nb", "qid"), "qid")
     )
-    cos = cosine_expr("embedding")
+    cos = _factored_cos("_a", "_na", "_b", "_nb")
     scored = cand.select(
         "qid",
         F.col(id_col).alias("doc_id"),

@@ -308,13 +308,17 @@ def recover_swap(index_dir: str, grace_sec: float = 300.0) -> bool:
         return False
     j = json.loads(fs_read_bytes(jpath))
     # Clock-skew clamp: the journal ts comes from the COMPACT writer's
-    # clock, this check runs on the reader's. A writer clock N seconds
-    # ahead (or an NTP step-back here) would make elapsed negative and
-    # keep a crashed swap "fresh" for N + grace_sec — an unbounded outage
-    # on the shared filesystems this path serves. A future-dated journal
-    # cannot belong to an in-flight local compact, so treat it as stale.
+    # clock, this check runs on the reader's. Negative elapsed (writer
+    # clock ahead / NTP step-back here) is tolerated up to grace_sec: on
+    # the shared filesystems this path serves, a reader trailing the
+    # writer by even seconds would otherwise run recovery against an
+    # IN-FLIGHT swap — deleting the journal before the renames start or
+    # moving the retired dir back mid-swap (round-5 ADVICE). Beyond the
+    # bounded window a future-dated journal cannot belong to an in-flight
+    # compact and is treated as stale, so the total outage a skewed clock
+    # can cause is 2 * grace_sec, not unbounded.
     elapsed = time.time() - j.get("ts", 0.0)
-    if 0.0 <= elapsed < grace_sec:
+    if -grace_sec <= elapsed < grace_sec:
         return False
     for live in j["lives"]:
         retired = f"{live}_retired_{j['tag']}"

@@ -385,6 +385,15 @@ def test_swap_journal_crash_recovery(spark, tmp_path):
     assert not os.path.isdir(f"{d}/postings")
     assert os.path.exists(f"{d}/swap_journal.json")
 
+    # a journal future-dated within the grace window (reader clock trailing
+    # the compact writer's by seconds) is ALSO in-flight-protected: running
+    # recovery here would yank directories out from under the live compact
+    # (round-5 ADVICE) — only beyond the bounded skew window is it stale
+    _backdate_journal(-60.0)
+    ix.IndexMeta.load(d)
+    assert not os.path.isdir(f"{d}/postings")
+    assert os.path.exists(f"{d}/swap_journal.json")
+
     _backdate_journal()
     ix.IndexMeta.load(d)  # stale journal -> recover_swap repairs
     assert os.path.isdir(f"{d}/postings")

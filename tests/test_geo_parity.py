@@ -200,3 +200,27 @@ def test_knn_edges_ivf_recall(spark, emb_df, engine_edges):
     assert recall >= 0.8, f"IVF graph recall {recall:.3f}"
     for e in hit:
         assert abs(approx[e] - exact[e]) < 1e-9  # identical rounded weights
+
+
+def test_knn_edges_block_count_invariant(spark, emb_df):
+    """VERDICT r5 #1: n_blocks is a physical-layout knob only — the edge set
+    (and weights) must be identical between an explicit tiny block count and
+    the data-derived default, and derive_n_blocks must bound per-cell bytes."""
+    from geometric_aware_retrieval_v2_spark.operators.knn import (
+        BLOCK_BYTES_TARGET,
+        derive_n_blocks,
+        knn_edges,
+    )
+
+    key = lambda r: (r.src, r.dst, r.weight)
+    a = sorted(map(key, knn_edges(emb_df, k=KNN_K, n_blocks=2).collect()))
+    b = sorted(map(key, knn_edges(emb_df, k=KNN_K).collect()))  # derived
+    assert a == b and len(a) > 0
+
+    # sizing math: parallelism floor on small inputs, byte ceiling on huge
+    # ones, never more blocks than rows
+    assert derive_n_blocks(100, 64, 8) == 8
+    assert derive_n_blocks(4, 64, 8) == 4
+    big = derive_n_blocks(10_000_000, 64, 8)
+    assert (10_000_000 // big) * 64 * 8 <= BLOCK_BYTES_TARGET
+    assert derive_n_blocks(10**9, 64, 32) == -(-(10**9) * 64 * 8 // BLOCK_BYTES_TARGET)
