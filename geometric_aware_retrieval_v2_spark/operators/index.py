@@ -689,6 +689,16 @@ _ISIN_PUSHDOWN_MAX_TERMS = 4096
 # merge). Collect volume is bounded by qids x n_shards x (k + 32) rows
 _DRIVER_FINISH_MAX_QIDS = 256
 
+# largest batch routed through the shuffle-free single-stage partials
+# (_interactive_partials). Its parallelism is bounded by n_shards (one task
+# per shard scans + scores every one of its qids serially), so it wins for
+# latency-critical small batches — measured 2.2x on single queries at 500k
+# docs — while the grouped exchange plan spreads qids x shards kernels over
+# the whole cluster and wins past a handful of qids (measured: 20-query
+# batch 1.5 s grouped vs 2.2 s single-stage). Both finishes are
+# score-identical (same _score_blocks kernel).
+_FAST_PARTIALS_MAX_QIDS = 4
+
 # largest driver-side row set rendered as an inline SQL VALUES relation.
 # createDataFrame parallelizes rows into an RDD-backed plan, so broadcasting
 # it costs a collect job and collecting it costs a scan job; a VALUES inline
@@ -1102,6 +1112,30 @@ def _interactive_partials(
     )
 
 
+def _grouped_partials(
+    handle: IndexHandle,
+    cand: DataFrame,
+    keep_n: int,
+    k1: float,
+    b: float,
+    use_wand: bool,
+) -> DataFrame:
+    """Exchange-based per-(qid, shard) WAND partials: the plan that spreads
+    qids x shards kernel groups over the whole cluster (batches and the
+    offline bulk path)."""
+    avgdl = handle.meta.avgdl
+
+    def run(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        ords, scores, _, _ = _score_group_kernel(
+            pdf, k=keep_n, k1=k1, b=b, avgdl=avgdl, use_wand=use_wand
+        )
+        return pd.DataFrame({"qid": key[0], "ord": ords, "score": scores})
+
+    return cand.groupBy("qid", "shard").applyInPandas(
+        run, schema="qid long, ord long, score double"
+    )
+
+
 def bm25_topk_indexed(
     spark: SparkSession,
     index: str | IndexHandle,
@@ -1133,7 +1167,6 @@ def bm25_topk_indexed(
         # while the distributed window returns empty — fail loudly instead
         raise ValueError(f"k must be >= 1, got {k}")
     handle = IndexHandle(spark, index) if isinstance(index, str) else index
-    meta = handle.meta
     use_wand = method == "wand"
 
     # per-shard partials keep k + headroom: rounded-score ties across distinct
@@ -1149,26 +1182,21 @@ def bm25_topk_indexed(
             df._spark_graft_local_topk = []
             return df
         qids = sorted({t[0] for t in trip})
-        if finish != "distributed" and len(qids) <= _DRIVER_FINISH_MAX_QIDS:
+        if finish != "distributed" and len(qids) <= _FAST_PARTIALS_MAX_QIDS:
             # interactive fast path: shuffle-free per-(qid, shard) partials
             # over the shard-clustered postings + coordinator merge — one
             # Spark stage end to end (see _interactive_partials)
             partial = _interactive_partials(handle, trip, keep_n, k1, b, use_wand)
             return _driver_finish_topk(handle, partial, k)
         cand = _cand_from_trip(handle, trip)
+        if finish != "distributed" and len(qids) <= _DRIVER_FINISH_MAX_QIDS:
+            partial = _grouped_partials(handle, cand, keep_n, k1, b, use_wand)
+            return _driver_finish_topk(handle, partial, k)
     else:
         cand = _bulk_candidate_blocks(handle, queries)
         qids = None
 
-    def run(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        ords, scores, _, _ = _score_group_kernel(
-            pdf, k=keep_n, k1=k1, b=b, avgdl=meta.avgdl, use_wand=use_wand
-        )
-        return pd.DataFrame({"qid": key[0], "ord": ords, "score": scores})
-
-    partial = cand.groupBy("qid", "shard").applyInPandas(
-        run, schema="qid long, ord long, score double"
-    )
+    partial = _grouped_partials(handle, cand, keep_n, k1, b, use_wand)
     if finish == "driver":
         return _driver_finish_topk(handle, partial, k)
     resolved = partial.join(handle.docmap, "ord").select("qid", "doc_id", "score")

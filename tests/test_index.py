@@ -222,6 +222,36 @@ def test_pack_width_bounds_buffer_and_preserves_postings(spark, index_dir):
     )
 
 
+def test_fast_partials_match_grouped_and_distributed(spark, index_dir):
+    """The shuffle-free single-stage partials (batches <= _FAST_PARTIALS_
+    MAX_QIDS), the grouped-exchange driver finish, and the fully distributed
+    tail must be bit-identical on the same small batch — all three consume
+    the same _score_blocks kernel, and this pins the routing seams."""
+    from geometric_aware_retrieval_v2_spark.localrel import local_queries_df
+    from geometric_aware_retrieval_v2_spark.operators import index as ix
+
+    small = local_queries_df(
+        spark, [(1, "hash join"), (2, "table scan"), (9, "the a")]
+    )
+    assert len({q for q, _ in small._spark_graft_local_rows}) <= ix._FAST_PARTIALS_MAX_QIDS
+    fast = _collect_topk(bm25_topk_indexed(spark, index_dir, small, k=10))
+    dist = _collect_topk(
+        bm25_topk_indexed(spark, index_dir, small, k=10, finish="distributed")
+    )
+    assert fast == dist and len(fast) > 0
+    # grouped + driver finish (what 5..256-qid batches run)
+    h = ix.IndexHandle(spark, index_dir)
+    trip = ix._interactive_trip(h, small)
+    partial = ix._grouped_partials(
+        h, ix._cand_from_trip(h, trip), 42, 1.2, 0.75, True
+    )
+    grouped = sorted(
+        (r.qid, r.doc_id, r.score, r.rank)
+        for r in ix._driver_finish_topk(h, partial, 10).collect()
+    )
+    assert grouped == fast
+
+
 def test_pack_narrowed_types_identical(spark, index_dir):
     """The segments job narrows tf/dl to int32 before the pack shuffle
     (guide §2.3): the packed block rows — payload bytes included — must be
