@@ -222,7 +222,13 @@ def build_index(
         # warm JVM scans it saves. Guide §1.1: empirical loop beat the
         # first-principles "one pass" plan; see OPTIMIZATION_r06.md.)
         tf_path = f"{index_dir}/tf/part={p}"
-        tokenize_terms_arrow(part, mode=tokenizer_mode).write.mode("overwrite").parquet(tf_path)
+        # term_id is precomputed here (cheap JVM projection riding the same
+        # write job): the segments stage then scans the dict-encodable int64
+        # column and skips both the term-string column read and the hash —
+        # only the vocab-gate's distinct still touches the strings
+        tokenize_terms_arrow(part, mode=tokenizer_mode).withColumn(
+            "term_id", F.xxhash64("term")
+        ).write.mode("overwrite").parquet(tf_path)
         tf_stored = spark.read.parquet(tf_path)
         dl = tf_stored.groupBy("doc_id").agg(F.sum("tf").alias("doc_len"))
         out = f"{index_dir}/docstats/part={p}"
@@ -297,7 +303,14 @@ def build_index(
 
     def _segments_job(p: int) -> None:
         t0 = time.monotonic()
+        # scan only (doc_id, term_id, tf): term_id was precomputed at tf
+        # write time, so the term STRING column is never read here. A tf
+        # partition committed by a PRE-upgrade build (resume) lacks the
+        # column — hash inline for exactly those (same xxhash64, same bits)
         tf = spark.read.parquet(f"{index_dir}/tf/part={p}")
+        if "term_id" not in tf.columns:
+            tf = tf.withColumn("term_id", F.xxhash64("term"))
+        tf = tf.select("doc_id", "term_id", "tf")
         # postings are keyed by dense ordinal from here on; shard is a pure
         # function of the ordinal so partial top-k per shard stays exact.
         # docmap join strategy chosen above from the committed doc count:
@@ -307,9 +320,9 @@ def build_index(
                     "doc_id")
             .select(
                 F.col("ord").alias("doc_id"),
-                # postings are keyed by the 8-byte term hash; the string
+                # postings stay keyed by the 8-byte term hash; the string
                 # never enters the pack shuffle/sort/parquet (pack_postings)
-                F.xxhash64("term").alias("term_id"),
+                "term_id",
                 # tf and dl always fit int32 (dl = per-doc token count);
                 # narrowing them halves their share of the pack shuffle
                 # (guide §2.3 "narrower types") — the pack kernel upcasts
@@ -689,15 +702,21 @@ _ISIN_PUSHDOWN_MAX_TERMS = 4096
 # merge). Collect volume is bounded by qids x n_shards x (k + 32) rows
 _DRIVER_FINISH_MAX_QIDS = 256
 
-# largest batch routed through the shuffle-free single-stage partials
-# (_interactive_partials). Its parallelism is bounded by n_shards (one task
-# per shard scans + scores every one of its qids serially), so it wins for
-# latency-critical small batches — measured 2.2x on single queries at 500k
-# docs — while the grouped exchange plan spreads qids x shards kernels over
-# the whole cluster and wins past a handful of qids (measured: 20-query
-# batch 1.5 s grouped vs 2.2 s single-stage). Both finishes are
-# score-identical (same _score_blocks kernel).
-_FAST_PARTIALS_MAX_QIDS = 4
+# largest batch WORKLOAD routed through the shuffle-free single-stage
+# partials (_interactive_partials), measured as sum(df) over the batch's
+# scoreable (qid, term) pairs — an upper bound on postings touched, free
+# from the probe's df cache. The single-stage plan's parallelism is bounded
+# by n_shards (one task per shard scores its qids serially), so it wins
+# while per-shard work is small and loses to the grouped exchange plan —
+# which spreads qids x shards kernels over the whole cluster — once decode
+# work dominates its ~0.6 s of extra machinery. Measured same-session at
+# 8 shards/local[32]: fast wins 2x at sum(df) ~1.0M (one hot query, 500k
+# docs) and ~1.8M (20 queries, 50k docs); grouped wins 1.5x at ~17.7M
+# (20 queries, 500k docs). 6M splits the measured regimes conservatively;
+# on a cluster n_shards grows with the corpus, moving the true crossover
+# higher, so a too-low constant only forfeits latency, never correctness
+# (both plans are score-identical — same _score_blocks kernel).
+_FAST_PARTIALS_MAX_POSTINGS = 6_000_000
 
 # largest driver-side row set rendered as an inline SQL VALUES relation.
 # createDataFrame parallelizes rows into an RDD-backed plan, so broadcasting
@@ -915,16 +934,23 @@ def _interactive_trip(handle: IndexHandle, queries: DataFrame):
     """
     mode = handle.meta.tokenizer_mode
     local_rows = getattr(queries, localrel.LOCAL_ROWS_ATTR, None)
-    if local_rows is None:
-        taken = queries.select("qid", "text").take(_DRIVER_FINISH_MAX_QIDS + 1)
-        if len(taken) <= _DRIVER_FINISH_MAX_QIDS:
-            local_rows = [(r.qid, r.text) for r in taken]
     if local_rows is not None:
         if not local_rows:
             return []
-        probe_src = localrel.local_queries_df(handle.spark, local_rows)
+        # tier 1: the caller's frame IS already a VALUES LocalRelation —
+        # probe it directly (re-rendering it parsed a second identical SQL
+        # statement per query, ~10 ms of pure driver latency)
+        probe_src = queries
     else:
-        probe_src = queries.coalesce(1)
+        taken = queries.select("qid", "text").take(_DRIVER_FINISH_MAX_QIDS + 1)
+        if len(taken) <= _DRIVER_FINISH_MAX_QIDS:
+            local_rows = [(r.qid, r.text) for r in taken]
+        if local_rows is not None:
+            if not local_rows:
+                return []
+            probe_src = localrel.local_queries_df(handle.spark, local_rows)
+        else:
+            probe_src = queries.coalesce(1)
     pair_rows = (
         probe_src
         .select("qid", F.explode(_terms_col("text", mode)).alias("term"))
@@ -1131,7 +1157,14 @@ def _grouped_partials(
         )
         return pd.DataFrame({"qid": key[0], "ord": ords, "score": scores})
 
-    return cand.groupBy("qid", "shard").applyInPandas(
+    # explicit projection: applyInPandas ships every input column through
+    # Arrow, and the candidate frame still carries block_id, which the
+    # kernel never reads (guide §4.1 — pass only what the function needs)
+    cols = [
+        "qid", "shard", "term_id", "idf", "first_doc", "last_doc",
+        "n", "max_tf", "min_dl", "bytes",
+    ]
+    return cand.select(*cols).groupBy("qid", "shard").applyInPandas(
         run, schema="qid long, ord long, score double"
     )
 
@@ -1182,7 +1215,11 @@ def bm25_topk_indexed(
             df._spark_graft_local_topk = []
             return df
         qids = sorted({t[0] for t in trip})
-        if finish != "distributed" and len(qids) <= _FAST_PARTIALS_MAX_QIDS:
+        if (
+            finish != "distributed"
+            and len(qids) <= _DRIVER_FINISH_MAX_QIDS
+            and sum(t[2] for t in trip) <= _FAST_PARTIALS_MAX_POSTINGS
+        ):
             # interactive fast path: shuffle-free per-(qid, shard) partials
             # over the shard-clustered postings + coordinator merge — one
             # Spark stage end to end (see _interactive_partials)

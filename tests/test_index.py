@@ -233,7 +233,11 @@ def test_fast_partials_match_grouped_and_distributed(spark, index_dir):
     small = local_queries_df(
         spark, [(1, "hash join"), (2, "table scan"), (9, "the a")]
     )
-    assert len({q for q, _ in small._spark_graft_local_rows}) <= ix._FAST_PARTIALS_MAX_QIDS
+    h0 = ix.IndexHandle(spark, index_dir)
+    assert (
+        sum(t[2] for t in ix._interactive_trip(h0, small))
+        <= ix._FAST_PARTIALS_MAX_POSTINGS
+    ), "fixture batch must route through the single-stage plan"
     fast = _collect_topk(bm25_topk_indexed(spark, index_dir, small, k=10))
     dist = _collect_topk(
         bm25_topk_indexed(spark, index_dir, small, k=10, finish="distributed")
