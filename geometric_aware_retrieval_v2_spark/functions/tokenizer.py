@@ -27,6 +27,7 @@ Tokenizer modes:
 
 from __future__ import annotations
 
+import re
 from typing import Iterator
 
 import pandas as pd
@@ -39,6 +40,45 @@ CAMEL_BOUNDARY_1 = r"([a-z0-9])([A-Z])"
 CAMEL_BOUNDARY_2 = r"([A-Z]+)([A-Z][a-z])"
 
 TOKENIZER_MODES = ("ws", "code", "code2")
+
+# ---- driver-side twin of _terms_col (see py_terms) --------------------------
+# Java's \s without UNICODE_CHARACTER_CLASS is exactly [ \t\n\x0B\f\r] — the
+# ASCII set. Python's \s is the Unicode set (adds \x1c-\x1f, \x85, \xa0, …),
+# so the twin spells the Java class out instead of using \s.
+_JAVA_WS_RE = re.compile("[ \t\n\x0b\f\r]+")
+_CODE_RE = re.compile(CODE_TOKEN_RE)
+_CB1_RE = re.compile(CAMEL_BOUNDARY_1)
+_CB2_RE = re.compile(CAMEL_BOUNDARY_2)
+
+
+def py_terms(text: str | None, mode: str) -> list[str]:
+    """Driver-side twin of ``_terms_col`` for the interactive query probe
+    (operators/index._interactive_trip): identical token list, zero Catalyst
+    work. Exactness argument, per mode:
+
+    * ``ws`` — ``F.split(col, r"\\s+")`` is Java ``Pattern.split`` with the
+      ASCII ``\\s`` class (spelled out above); empty strings are filtered the
+      same way.
+    * ``code``/``code2`` — every class in CODE_TOKEN_RE and the camel
+      boundary patterns is pure ASCII, where Java and Python regex semantics
+      coincide (leftmost, greedy, non-overlapping); extraction therefore
+      yields ASCII-only tokens, on which JVM ``lower`` == ``str.lower``.
+
+    Pinned by test_tokenizer.py's py-vs-JVM fuzz (unicode whitespace, camel
+    chains, empty/None) — the twin may only ship while that agreement holds.
+    """
+    if text is None:
+        return []
+    if mode == "ws":
+        return [t for t in _JAVA_WS_RE.split(text) if t != ""]
+    if mode in ("code", "code2"):
+        s = text
+        if mode == "code2":
+            s = _CB1_RE.sub(r"\1 \2", s)
+            s = _CB2_RE.sub(r"\1 \2", s)
+            s = s.replace("_", " ")
+        return [m.lower() for m in _CODE_RE.findall(s)]
+    raise ValueError(f"unknown tokenizer mode: {mode}")
 
 
 def boundary_split_col(content: Column) -> Column:

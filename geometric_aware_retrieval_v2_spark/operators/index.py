@@ -48,8 +48,10 @@ from pyspark.sql import functions as F
 from geometric_aware_retrieval_v2_spark import localrel
 from geometric_aware_retrieval_v2_spark.functions.tokenizer import (
     _terms_col,
+    py_terms,
     tokenize_terms_arrow,
 )
+from geometric_aware_retrieval_v2_spark.functions.xxh64 import xxh64_str
 from geometric_aware_retrieval_v2_spark.operators.bm25 import (
     B_DEFAULT,
     K1_DEFAULT,
@@ -742,12 +744,18 @@ def _empty_topk_df(spark: SparkSession) -> DataFrame:
     job of empty tasks just to learn there are no rows; a VALUES row
     behind WHERE 1=0 folds to an empty LocalRelation (PruneFilters +
     ConvertToLocalRelation) and collects job-free — this is the all-OOV
-    interactive fast path."""
-    return spark.sql(
-        "SELECT * FROM VALUES "
-        "(CAST(NULL AS LONG), CAST(NULL AS LONG), CAST(NULL AS DOUBLE), "
-        "CAST(NULL AS LONG)) t(qid, doc_id, score, `rank`) WHERE 1=0"
-    )
+    interactive fast path. The folded plan is constant, so it is built
+    once per session (a plan cache, not a result cache: the relation is
+    empty by construction) — re-parsing it cost ~5 ms per OOV query."""
+    df = getattr(spark, "_spark_graft_empty_topk", None)
+    if df is None:
+        df = spark.sql(
+            "SELECT * FROM VALUES "
+            "(CAST(NULL AS LONG), CAST(NULL AS LONG), CAST(NULL AS DOUBLE), "
+            "CAST(NULL AS LONG)) t(qid, doc_id, score, `rank`) WHERE 1=0"
+        )
+        spark._spark_graft_empty_topk = df
+    return df
 
 
 def _bounded_cache_fill(cache: dict, keys, fetch, cap: int = 4_000_000) -> None:
@@ -916,12 +924,14 @@ def _interactive_trip(handle: IndexHandle, queries: DataFrame):
       3. row overflow (> _DRIVER_FINISH_MAX_QIDS): the batch is an
          offline log — probe the original frame with coalesce(1) so the
          single merged task consumes its input lazily up to the pair cap.
-    Tiers 1-2 re-render the rows as a parameterized VALUES LocalRelation
-    and tokenize THAT with the same JVM expressions: evaluating the probe
-    over a createDataFrame-backed scan pays a Python-worker round trip
-    per parallelize slice (~4.5 s for one query on local[32], the
-    dominant share of single-query latency); over a LocalRelation the
-    identical plan folds driver-side in ~0.1 s and schedules no job.
+    Tiers 1-2 tokenize + hash the rows ON THE DRIVER in pure Python
+    (functions.tokenizer.py_terms + functions.xxh64.xxh64_str — both
+    fuzz-pinned bit-identical to the JVM _terms_col / xxhash64 expressions
+    by test_driver_probe.py): the previous shape evaluated the identical
+    logic as a Catalyst parse + constant-fold over a VALUES LocalRelation,
+    which is job-free but still cost 55-65 ms of driver latency per query
+    — the dominant share of the warm all-OOV floor and ~22% of a warm
+    scoring query (round-6 probe_breakdown measurement).
 
     df AND idf come from the handle's hot cache; misses are batch-fetched
     in ONE pruned dictionary scan whose projection computes idf with the
@@ -934,42 +944,47 @@ def _interactive_trip(handle: IndexHandle, queries: DataFrame):
     """
     mode = handle.meta.tokenizer_mode
     local_rows = getattr(queries, localrel.LOCAL_ROWS_ATTR, None)
-    if local_rows is not None:
-        if not local_rows:
-            return []
-        # tier 1: the caller's frame IS already a VALUES LocalRelation —
-        # probe it directly (re-rendering it parsed a second identical SQL
-        # statement per query, ~10 ms of pure driver latency)
-        probe_src = queries
-    else:
+    if local_rows is None:
         taken = queries.select("qid", "text").take(_DRIVER_FINISH_MAX_QIDS + 1)
         if len(taken) <= _DRIVER_FINISH_MAX_QIDS:
             local_rows = [(r.qid, r.text) for r in taken]
-        if local_rows is not None:
-            if not local_rows:
-                return []
-            probe_src = localrel.local_queries_df(handle.spark, local_rows)
-        else:
-            probe_src = queries.coalesce(1)
-    pair_rows = (
-        probe_src
-        .select("qid", F.explode(_terms_col("text", mode)).alias("term"))
-        .filter(F.col("term") != "")
-        .select("qid", F.xxhash64("term").alias("term_id"))
-        .limit(_ISIN_PUSHDOWN_MAX_TERMS + 1)
-        .collect()
-    )
-    if len(pair_rows) > _ISIN_PUSHDOWN_MAX_TERMS:
-        return _BULK
-    pairs = sorted({(r.qid, r.term_id) for r in pair_rows})
+    if local_rows is not None:
+        if not local_rows:
+            return []
+        # tiers 1-2: pure-Python probe, zero Catalyst work. The token-count
+        # cap mirrors the old Catalyst limit exactly (pre-dedupe occurrence
+        # count) so routing crosses to _BULK at the same boundary.
+        pair_set: set[tuple[int, int]] = set()
+        total = 0
+        for q_, t_ in local_rows:
+            for tok in py_terms(t_, mode):
+                total += 1
+                if total > _ISIN_PUSHDOWN_MAX_TERMS:
+                    return _BULK
+                pair_set.add((q_, xxh64_str(tok)))
+        pairs = sorted(pair_set)
+    else:
+        pair_rows = (
+            queries.coalesce(1)
+            .select("qid", F.explode(_terms_col("text", mode)).alias("term"))
+            .filter(F.col("term") != "")
+            .select("qid", F.xxhash64("term").alias("term_id"))
+            .limit(_ISIN_PUSHDOWN_MAX_TERMS + 1)
+            .collect()
+        )
+        if len(pair_rows) > _ISIN_PUSHDOWN_MAX_TERMS:
+            return _BULK
+        pairs = sorted({(r.qid, r.term_id) for r in pair_rows})
     if not pairs:
         return []
     cache = handle._df_cache
     qterm_list = sorted({t for _, t in pairs})
-    n = float(handle.meta.n_docs)
-    idf = F.log(F.lit(1.0) + (F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5))
 
     def _fetch_dfs(missing: list) -> None:
+        n = float(handle.meta.n_docs)
+        idf = F.log(
+            F.lit(1.0) + (F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        )
         for r in (
             handle.dictionary.filter(F.col("term_id").isin(missing))
             .select("term_id", "df", idf.alias("idf"))
