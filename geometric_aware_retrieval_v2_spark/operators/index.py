@@ -720,6 +720,18 @@ _DRIVER_FINISH_MAX_QIDS = 256
 # (both plans are score-identical — same _score_blocks kernel).
 _FAST_PARTIALS_MAX_POSTINGS = 6_000_000
 
+# largest number of volume-balanced qid slices an interactive batch is split
+# into when it overflows _FAST_PARTIALS_MAX_POSTINGS: each slice is an
+# independent shuffle-free single-stage job and the slices run CONCURRENTLY
+# (guide §2.6 — Spark schedules many jobs in one application; later jobs
+# back-fill executors freed by earlier jobs' tails), so batch parallelism is
+# n_slices x n_shards with no exchange and no per-query broadcast. Measured
+# same-session at 500k docs / 20 queries / sum(df) 17.7M: grouped exchange
+# 0.99 s, one single-stage job 1.11 s, 3 concurrent slices 0.63 s. Past the
+# cap (enormous <=256-qid batches) the grouped exchange plan takes over —
+# its qids x shards kernels spread over a whole cluster.
+_MAX_PARTIAL_SLICES = 32
+
 # largest driver-side row set rendered as an inline SQL VALUES relation.
 # createDataFrame parallelizes rows into an RDD-backed plan, so broadcasting
 # it costs a collect job and collecting it costs a scan job; a VALUES inline
@@ -797,7 +809,15 @@ def _driver_finish_topk(
     order — Python's sort over identical float64 values reproduces the
     row_number window bit-for-bit.
     """
-    rows = partial.collect()
+    return _driver_finish_rows(handle, partial.collect(), k)
+
+
+def _driver_finish_rows(handle: IndexHandle, rows: list, k: int) -> DataFrame:
+    """Coordinator merge over already-collected partial rows (see
+    _driver_finish_topk; the sliced-batch path collects its slices
+    concurrently and merges the concatenation here — a qid's every
+    (qid, shard) partial lives in exactly one slice, so the row multiset
+    is identical to the single-job plan's)."""
     by_qid: dict[int, list] = {}
     for r in rows:
         by_qid.setdefault(r.qid, []).append((r.score, r.ord))
@@ -1153,6 +1173,51 @@ def _interactive_partials(
     )
 
 
+def _sliced_partial_rows(
+    handle: IndexHandle,
+    trip: list[tuple],
+    n_slices: int,
+    keep_n: int,
+    k1: float,
+    b: float,
+    use_wand: bool,
+) -> list:
+    """Split an interactive batch into ``n_slices`` volume-balanced qid
+    slices (greedy LPT over per-qid sum(df)), run each slice's shuffle-free
+    single-stage partials as an independent Spark job, CONCURRENTLY, and
+    return the concatenated partial rows for the coordinator merge.
+
+    Exactness: slices partition whole qids, so every (qid, shard) partial
+    is computed by exactly one slice from exactly the rows the single-job
+    plan would feed it — the merged row multiset is identical (pinned by
+    test_sliced_batch_matches_grouped_and_distributed).
+    """
+    per_qid: dict[int, list[tuple]] = {}
+    for tup in trip:
+        per_qid.setdefault(tup[0], []).append(tup)
+    loads = sorted(
+        ((sum(t[2] for t in v), q) for q, v in per_qid.items()), reverse=True
+    )
+    bins: list[list] = [[] for _ in range(min(n_slices, len(per_qid)))]
+    fill = [0] * len(bins)
+    for load, q in loads:
+        i = min(range(len(bins)), key=fill.__getitem__)
+        fill[i] += load
+        bins[i].extend(per_qid[q])
+    slices = [b_ for b_ in bins if b_]
+    # build the shard view once before the pool: concurrent first calls
+    # would benignly race the cached-view memo
+    handle.shard_clustered()
+
+    def run(sl: list) -> list:
+        return _interactive_partials(
+            handle, sl, keep_n, k1, b, use_wand
+        ).collect()
+
+    with ThreadPoolExecutor(max_workers=min(len(slices), 8)) as ex:
+        return [r for rs in ex.map(run, slices) for r in rs]
+
+
 def _grouped_partials(
     handle: IndexHandle,
     cand: DataFrame,
@@ -1230,16 +1295,26 @@ def bm25_topk_indexed(
             df._spark_graft_local_topk = []
             return df
         qids = sorted({t[0] for t in trip})
-        if (
-            finish != "distributed"
-            and len(qids) <= _DRIVER_FINISH_MAX_QIDS
-            and sum(t[2] for t in trip) <= _FAST_PARTIALS_MAX_POSTINGS
-        ):
-            # interactive fast path: shuffle-free per-(qid, shard) partials
-            # over the shard-clustered postings + coordinator merge — one
-            # Spark stage end to end (see _interactive_partials)
-            partial = _interactive_partials(handle, trip, keep_n, k1, b, use_wand)
-            return _driver_finish_topk(handle, partial, k)
+        if finish != "distributed" and len(qids) <= _DRIVER_FINISH_MAX_QIDS:
+            # interactive fast paths: shuffle-free per-(qid, shard) partials
+            # over the shard-clustered postings + coordinator merge. Small
+            # workloads run as ONE single-stage job; larger batches split
+            # into volume-balanced qid slices run as concurrent single-stage
+            # jobs (parallelism n_slices x n_shards, still zero exchanges);
+            # only single-qid overflows and batches past the slice cap take
+            # the grouped exchange plan.
+            total_df = sum(t[2] for t in trip)
+            n_slices = -(-total_df // _FAST_PARTIALS_MAX_POSTINGS)
+            if n_slices <= 1:
+                partial = _interactive_partials(
+                    handle, trip, keep_n, k1, b, use_wand
+                )
+                return _driver_finish_topk(handle, partial, k)
+            if len(qids) > 1 and n_slices <= _MAX_PARTIAL_SLICES:
+                rows = _sliced_partial_rows(
+                    handle, trip, n_slices, keep_n, k1, b, use_wand
+                )
+                return _driver_finish_rows(handle, rows, k)
         cand = _cand_from_trip(handle, trip)
         if finish != "distributed" and len(qids) <= _DRIVER_FINISH_MAX_QIDS:
             partial = _grouped_partials(handle, cand, keep_n, k1, b, use_wand)

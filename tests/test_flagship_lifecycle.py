@@ -241,12 +241,11 @@ def test_driver_finish_matches_distributed_tail(spark, tmp_path, monkeypatch):
 def test_all_oov_result_is_empty_localrelation(spark, tmp_path):
     """The all-OOV result must be an empty LocalRelation: right schema,
     zero rows, and — the interactive fast path this pins — a warm all-OOV
-    query over a local_queries_df frame schedules exactly ONE Spark job:
-    the single-task VALUES term probe (explode is a Generate node, which
-    ConvertToLocalRelation does not fold). The dictionary df rides the
-    handle cache and the empty result is a LocalRelation
-    (createDataFrame([], schema) would parallelize an empty RDD and burn
-    a whole job of empty tasks on it)."""
+    query over a local_queries_df frame schedules ZERO Spark jobs: the
+    term probe runs in pure Python on the driver (py_terms + xxh64_str),
+    the dictionary df rides the handle cache, and the empty result is a
+    LocalRelation (createDataFrame([], schema) would parallelize an empty
+    RDD and burn a whole job of empty tasks on it)."""
     from geometric_aware_retrieval_v2_spark.localrel import local_queries_df
     from geometric_aware_retrieval_v2_spark.operators import index as ix
     from tests.test_sources_cli import SMALL_CORPUS
@@ -276,7 +275,10 @@ def test_all_oov_result_is_empty_localrelation(spark, tmp_path):
         finally:
             sc.setJobGroup(None, None)
 
-    assert warm_jobs(q) == 1
+    # round-6 session-2: the probe runs in pure Python on the driver
+    # (py_terms + xxh64_str twins), so a warm all-OOV local-frame query
+    # schedules ZERO jobs — the previous pin was 1 (the VALUES term probe)
+    assert warm_jobs(q) == 0
     # an untagged createDataFrame frame pays the bounded take() fetch
     # (executeTake's partition cascade over the parallelize slices) but
     # nothing else — still a handful of tiny jobs, never a scoring job

@@ -256,6 +256,50 @@ def test_fast_partials_match_grouped_and_distributed(spark, index_dir):
     assert grouped == fast
 
 
+def test_sliced_batch_matches_grouped_and_distributed(spark, index_dir, monkeypatch):
+    """Batches whose sum(df) overflows _FAST_PARTIALS_MAX_POSTINGS split into
+    volume-balanced qid slices run as concurrent single-stage jobs. Force the
+    sliced route by shrinking the threshold and pin it bit-identical to the
+    single-job fast path, the grouped driver finish, and the distributed tail."""
+    from geometric_aware_retrieval_v2_spark.localrel import local_queries_df
+    from geometric_aware_retrieval_v2_spark.operators import index as ix
+
+    batch = local_queries_df(
+        spark, [(1, "hash join"), (2, "table scan"), (3, "merge sort"),
+                (9, "the a"), (11, "nosuchterm zzz")]
+    )
+    want = _collect_topk(
+        bm25_topk_indexed(spark, index_dir, batch, k=10, finish="distributed")
+    )
+    h = ix.IndexHandle(spark, index_dir)
+    trip = ix._interactive_trip(h, batch)
+    total_df = sum(t[2] for t in trip)
+    assert total_df > 3, "fixture batch too small to slice meaningfully"
+    # threshold forcing ~3 slices; routing must land on _sliced_partial_rows
+    monkeypatch.setattr(ix, "_FAST_PARTIALS_MAX_POSTINGS", max(1, total_df // 3))
+    calls = []
+    orig = ix._sliced_partial_rows
+
+    def spy(*a, **kw):
+        calls.append(a[2])
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(ix, "_sliced_partial_rows", spy)
+    got = _collect_topk(bm25_topk_indexed(spark, index_dir, batch, k=10))
+    assert calls and calls[0] >= 2, "sliced route did not engage"
+    assert got == want and len(got) > 0
+    # direct slice-row parity: merged rows == single-job plan's rows
+    rows_sliced = sorted(
+        (r.qid, r.ord, r.score)
+        for r in orig(h, trip, 3, 42, 1.2, 0.75, True)
+    )
+    rows_single = sorted(
+        (r.qid, r.ord, r.score)
+        for r in ix._interactive_partials(h, trip, 42, 1.2, 0.75, True).collect()
+    )
+    assert rows_sliced == rows_single
+
+
 def test_pack_narrowed_types_identical(spark, index_dir):
     """The segments job narrows tf/dl to int32 before the pack shuffle
     (guide §2.3): the packed block rows — payload bytes included — must be
