@@ -286,6 +286,63 @@ def test_all_oov_result_is_empty_localrelation(spark, tmp_path):
     assert 1 <= warm_jobs(q2) <= 4
 
 
+# ------------------------------ flagship driver-side finish (round 6 s3)
+
+def test_flagship_local_finish_matches_distributed(spark, tmp_path):
+    """The interactive flagship's driver-side geodesic finish
+    (pipelines._geodesic_local_finish) must be bit-identical to the
+    distributed tail it replaces — same candidate vectors (collect widens
+    float32 exactly), same embed_text qvec, the same _geodesic_kernel, the
+    same JVM round(_, 6) (via the folded VALUES projection), the same
+    (dist, doc_id) total order. Also pins the empty-batch (all-OOV) shape
+    and the fallback seam (local_finish=False forces the distributed
+    plan)."""
+    from geometric_aware_retrieval_v2_spark.localrel import local_queries_df
+    from geometric_aware_retrieval_v2_spark.operators import index as ix
+    from geometric_aware_retrieval_v2_spark.operators.pipelines import (
+        bm25_geodesic_indexed,
+    )
+    from geometric_aware_retrieval_v2_spark.queryset import queries_df
+    from geometric_aware_retrieval_v2_spark.sources.tables import (
+        docs_from_documents,
+        load_table,
+    )
+
+    docs = docs_from_documents(spark, SF_SMOKE)
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    d = str(tmp_path / "lf_idx")
+    ix.build_index(spark, docs, d, n_partitions=2, n_shards=4, block_size=64)
+    handle = ix.IndexHandle(spark, d).cache()
+    q = queries_df(spark)
+
+    loc = bm25_geodesic_indexed(spark, handle, emb, q, k=10, search_k=50)
+    dist = bm25_geodesic_indexed(
+        spark, handle, emb, q, k=10, search_k=50, local_finish=False
+    )
+    # the fast path really was taken: a LocalRelation result has no exchanges
+    assert "Exchange" not in loc._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" in dist._jdf.queryExecution().executedPlan().toString()
+    assert loc.schema.simpleString() == dist.schema.simpleString()
+
+    def key(rows):
+        return sorted((r.qid, r.rank, r.doc_id, r.bm25, r.geo_dist) for r in rows)
+
+    rl, rd = loc.collect(), dist.collect()
+    assert len(rl) > 0
+    assert key(rl) == key(rd)
+
+    # all-OOV batch: empty LocalRelation with the flagship schema
+    oov = bm25_geodesic_indexed(
+        spark, handle, emb,
+        local_queries_df(spark, [(1, "zzz_oov_term qqq_oov")]),
+        k=10, search_k=50,
+    )
+    assert oov.schema.simpleString() == (
+        "struct<qid:bigint,doc_id:bigint,bm25:double,geo_dist:double,rank:bigint>"
+    )
+    assert oov.collect() == []
+
+
 # --------------------------------- CLI search --rerank geodesic (E1 surface)
 
 def test_cli_search_rerank_geodesic(spark, tmp_path, capsys):
