@@ -17,6 +17,7 @@ from geometric_aware_retrieval_v2_spark import localrel
 from geometric_aware_retrieval_v2_spark.functions.hashing import embed_text, encode_queries
 from geometric_aware_retrieval_v2_spark.functions.tokenizer import doc_stats, tokenize_terms
 from geometric_aware_retrieval_v2_spark.operators import bm25, rerank
+from geometric_aware_retrieval_v2_spark.operators.index import in_expr
 
 
 # largest candidate doc_id set still compiled into the embeddings scan as an
@@ -120,7 +121,7 @@ def _geodesic_local_finish(
     ids = sorted({h[1] for h in local_topk})
     vec_rows = (
         emb.select(F.col(id_col).alias("doc_id"), F.col(vec_col).alias("_v"))
-        .filter(F.col("doc_id").isin(ids))
+        .filter(in_expr("doc_id", ids))
         .collect()
     )
     vecs_by_id: dict[int, list] = {}
@@ -199,7 +200,7 @@ def attach_candidates(
     """
     e = emb.select(F.col(id_col).alias("doc_id"), F.col(vec_col).alias("embedding"))
     if prune_ids is not None and 0 < len(prune_ids) <= _EMB_PRUNE_MAX_IDS:
-        e = e.filter(F.col("doc_id").isin(sorted(set(prune_ids))))
+        e = e.filter(in_expr("doc_id", sorted(set(prune_ids))))
     return (
         hits.select("qid", "doc_id", F.col("score").alias("bm25"))
         .join(e, "doc_id")
