@@ -65,11 +65,16 @@ def cosine_expr(vec_col: str, qvec_col: str = "qvec"):
 
 # ------------------------------------------------------------- cosine search
 
+# largest interactive query-vector set scored by the vectorized Arrow
+# kernel (collected driver-side into the task closure); past it the JVM
+# higher-order-function plan takes over (offline query logs)
+_COS_KERNEL_MAX_QUERIES = 256
 
-def _norm_factored_cos(
+
+def _hof_factored_cos(
     emb: DataFrame, qvecs: DataFrame, id_col: str, vec_col: str
 ) -> DataFrame:
-    """(doc_id, qid, cos) via the crossJoin, with the doc-side cast and
+    """(qid, doc_id, _cos) via the crossJoin, with the doc-side cast and
     norm PROJECTED BEFORE the join (guide §2.3 "project before the
     exchange"): per doc they are query-independent, so evaluating them
     inside the joined frame re-ran the O(d) array chain once per query.
@@ -86,6 +91,89 @@ def _norm_factored_cos(
     dot = _sum_arr(F.zip_with(F.col("_a"), F.col("_b"), lambda x, y: x * y))
     cos = dot / (F.col("_na") * F.col("_nb"))
     return e.crossJoin(F.broadcast(q)).select("qid", "doc_id", cos.alias("_cos"))
+
+
+def _kernel_factored_cos(
+    emb: DataFrame, id_col: str, vec_col: str, qrows: list
+) -> DataFrame:
+    """(qid, doc_id, _cos) via one mapInArrow pass: the query matrix rides
+    the task closure, the per-batch doc block scores against all queries in
+    d vectorized passes. Bit parity with the HOF plan (fuzz-pinned by
+    test_cosine_kernel_matches_hof): the dot accumulates
+    acc = acc + (a_j * b_j) per element j exactly like
+    aggregate(zip_with(a, b, *), 0.0, +) — one rounded multiply then one
+    rounded add per step, in j order — the norms fold x*x the same way, and
+    cos = dot / (na * nb) rounds the norm product once before the divide,
+    all in float64. float32 inputs widen exactly on both paths. Rows with
+    null or ragged vectors would diverge (the HOF plan yields NULL cos);
+    the kernel fails loudly instead — both are outside the engine's
+    fixed-dimension embedding contract."""
+    import pyarrow as pa
+
+    qids = np.array([q for q, _ in qrows], dtype=np.int64)
+    Q = np.vstack([np.asarray(v, dtype=np.float64) for _, v in qrows])
+    nq, d = Q.shape
+    accq = np.zeros(nq)
+    for j in range(d):
+        accq += Q[:, j] * Q[:, j]
+    nb = np.sqrt(accq)
+
+    def run(batches):
+        for rb in batches:
+            tab = pa.Table.from_batches([rb])
+            ids = tab.column(id_col).to_numpy().astype(np.int64, copy=False)
+            col = tab.column(vec_col).combine_chunks()
+            flat = col.flatten()
+            if col.null_count or flat.null_count or len(flat) != len(ids) * d:
+                raise NotImplementedError(
+                    "null or ragged embedding vectors (fixed-dim contract)"
+                )
+            A = flat.to_numpy(zero_copy_only=False).astype(np.float64)
+            A = A.reshape(len(ids), d)
+            acc = np.zeros((len(ids), nq))
+            accn = np.zeros(len(ids))
+            for j in range(d):
+                acc += A[:, j][:, None] * Q[:, j][None, :]
+                accn += A[:, j] * A[:, j]
+            na = np.sqrt(accn)
+            cos = acc / (na[:, None] * nb[None, :])
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.repeat(qids, len(ids))),
+                    pa.array(np.tile(ids, nq)),
+                    pa.array(cos.ravel(order="F")),
+                ],
+                names=["qid", "doc_id", "_cos"],
+            )
+
+    return emb.select(id_col, vec_col).mapInArrow(
+        run, schema="qid long, doc_id long, _cos double"
+    )
+
+
+def _norm_factored_cos(
+    emb: DataFrame, qvecs: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """(qid, doc_id, _cos): interactive query sets (<= 256, fetched with one
+    bounded take) score through the vectorized Arrow kernel — the JVM
+    higher-order functions are CodegenFallback, so the crossJoin projection
+    evaluates ~2(d+1) interpreted lambda steps per (doc, query) pair where
+    the kernel does d NumPy passes per doc block (~5x the rerank-stage
+    scoring rate, same bits). Larger query sets (offline logs) keep the
+    broadcast-crossJoin HOF plan; both paths are value-identical (see
+    _kernel_factored_cos)."""
+    from pyspark.sql.types import LongType
+
+    id_field = next(
+        (f for f in emb.schema.fields if f.name == id_col), None
+    )
+    if id_field is not None and isinstance(id_field.dataType, LongType):
+        taken = qvecs.select("qid", "qvec").take(_COS_KERNEL_MAX_QUERIES + 1)
+        if 0 < len(taken) <= _COS_KERNEL_MAX_QUERIES:
+            return _kernel_factored_cos(
+                emb, id_col, vec_col, [(r.qid, r.qvec) for r in taken]
+            )
+    return _hof_factored_cos(emb, qvecs, id_col, vec_col)
 
 
 def cosine_topk(

@@ -66,6 +66,64 @@ def test_cosine_topk_parity(spark, emb_df, qvecs_df, emb_np):
         assert by_q[q] == want, f"qid {q}: {by_q[q]} != {want}"
 
 
+def test_cosine_kernel_matches_hof(spark):
+    """The Arrow cosine kernel must be BIT-identical to the JVM
+    higher-order-function plan it replaces for interactive query sets:
+    the kernel's d accumulation passes reproduce the fold
+    aggregate(zip_with(a,b,*), 0.0, +) element-for-element (one rounded
+    multiply + one rounded add per step), the norms fold x*x the same
+    way, and cos = dot / (na * nb) rounds the norm product once before
+    the divide. Fuzzed over float32 vectors spanning magnitudes (the
+    engine's embedding dtype) plus near-parallel and near-zero vectors;
+    compares RAW _cos doubles, not the rounded outputs."""
+    import pandas as pd
+
+    from geometric_aware_retrieval_v2_spark.operators.rerank import (
+        _hof_factored_cos,
+        _kernel_factored_cos,
+        _norm_factored_cos,
+    )
+
+    rng = np.random.default_rng(7)
+    n, d, nq = 400, 16, 8
+    A = (rng.standard_normal((n, d)) * 10.0 ** rng.integers(-6, 6, (n, 1))
+         ).astype(np.float32)
+    A[0] = A[1]          # exactly parallel pair
+    A[2] = np.float32(1e-30)  # near-zero norms
+    pdf = pd.DataFrame(
+        {"vec_id": np.arange(n, dtype=np.int64), "embedding": list(A)}
+    )
+    emb = spark.createDataFrame(
+        pdf, schema="vec_id long, embedding array<float>"
+    )
+    Q = A[:nq].astype(np.float64)
+    qvecs = spark.createDataFrame(
+        [(int(i), Q[i].tolist()) for i in range(nq)],
+        schema="qid long, qvec array<double>",
+    )
+    hof = {
+        (r.qid, r.doc_id): r._cos
+        for r in _hof_factored_cos(emb, qvecs, "vec_id", "embedding").collect()
+    }
+    qrows = [(r.qid, r.qvec) for r in qvecs.collect()]
+    kern = {
+        (r.qid, r.doc_id): r._cos
+        for r in _kernel_factored_cos(emb, "vec_id", "embedding", qrows).collect()
+    }
+    assert set(hof) == set(kern) and len(hof) == n * nq
+    diff = [k for k in hof if hof[k] != kern[k]]
+    assert diff == [], f"{len(diff)} raw-cos bit mismatches, e.g. {diff[:3]}"
+    # the router takes the kernel for interactive sets and falls back for
+    # non-long id columns
+    assert "MapInArrow" in _norm_factored_cos(
+        emb, qvecs, "vec_id", "embedding"
+    )._jdf.queryExecution().executedPlan().toString()
+    emb_int = emb.withColumn("vec_id", F.col("vec_id").cast("int"))
+    assert "MapInArrow" not in _norm_factored_cos(
+        emb_int, qvecs, "vec_id", "embedding"
+    )._jdf.queryExecution().executedPlan().toString()
+
+
 @pytest.fixture(scope="module")
 def candidates_df(spark, emb_df, qvecs_df):
     """Per-query cosine top-50 joined with vectors: (qid, doc_id, embedding, qvec)."""
